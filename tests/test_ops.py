@@ -1,0 +1,122 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from u2pl_tpu.ops import (
+    label_onehot,
+    masked_percentile,
+    max_pool_ceil,
+    resize_bilinear,
+    resize_nearest,
+)
+from u2pl_tpu.ops.resize import resize_bilinear_numpy, resize_nearest_numpy
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+
+SIZES = [
+    ((129, 129), (513, 513)),  # rep/logit upsample os4 -> crop
+    ((513, 513), (129, 129)),
+    ((97, 65), (513, 513)),
+    ((7, 9), (33, 17)),
+    ((33, 17), (7, 9)),
+    ((1, 5), (4, 10)),
+]
+
+
+@pytest.mark.parametrize("insz,outsz", SIZES)
+@pytest.mark.parametrize("align", [True, False])
+def test_bilinear_matches_torch(insz, outsz, align):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, insz[0], insz[1], 3).astype(np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), outsz, align_corners=align))
+    ref = (
+        F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            size=outsz,
+            mode="bilinear",
+            align_corners=align,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("insz,outsz", SIZES)
+def test_bilinear_numpy_matches_torch(insz, outsz):
+    rng = np.random.RandomState(1)
+    x = rng.randn(insz[0], insz[1], 3).astype(np.float32)
+    got = resize_bilinear_numpy(x, outsz, align_corners=True)
+    ref = (
+        F.interpolate(
+            torch.from_numpy(x).permute(2, 0, 1)[None],
+            size=outsz,
+            mode="bilinear",
+            align_corners=True,
+        )[0]
+        .permute(1, 2, 0)
+        .numpy()
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("insz,outsz", SIZES)
+def test_nearest_matches_torch(insz, outsz):
+    rng = np.random.RandomState(2)
+    x = rng.randint(0, 21, size=(2, insz[0], insz[1])).astype(np.float32)
+    got = np.asarray(resize_nearest(jnp.asarray(x), outsz))
+    ref = F.interpolate(torch.from_numpy(x)[:, None], size=outsz, mode="nearest")[
+        :, 0
+    ].numpy()
+    np.testing.assert_array_equal(got, ref)
+    got_np = resize_nearest_numpy(x[0], outsz)
+    np.testing.assert_array_equal(got_np, ref[0])
+
+
+@pytest.mark.parametrize("pct", [0.0, 7.3, 20.0, 50.0, 80.0, 97.5, 100.0])
+def test_masked_percentile_matches_numpy(pct):
+    rng = np.random.RandomState(3)
+    vals = rng.randn(4, 33, 33).astype(np.float32)
+    mask = rng.rand(4, 33, 33) > 0.3
+    got = float(masked_percentile(jnp.asarray(vals), jnp.asarray(mask), pct))
+    ref = float(np.percentile(vals[mask], pct))
+    assert abs(got - ref) < 1e-5
+
+
+def test_masked_percentile_empty_mask():
+    vals = jnp.ones((4, 4))
+    mask = jnp.zeros((4, 4), bool)
+    assert np.isinf(float(masked_percentile(vals, mask, 50.0)))
+
+
+@pytest.mark.parametrize("hw", [(513, 513), (769, 769), (512, 512), (97, 130), (33, 32)])
+def test_max_pool_ceil_matches_torch(hw):
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, hw[0], hw[1], 5).astype(np.float32)
+    got = np.asarray(max_pool_ceil(jnp.asarray(x)))
+    ref = (
+        torch.nn.functional.max_pool2d(
+            torch.from_numpy(x).permute(0, 3, 1, 2),
+            kernel_size=3,
+            stride=2,
+            padding=1,
+            ceil_mode=True,
+        )
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_label_onehot():
+    labels = jnp.asarray([[[0, 1], [255, 2]]])
+    oh = np.asarray(label_onehot(labels, 3))
+    assert oh.shape == (1, 2, 2, 3)
+    np.testing.assert_array_equal(oh[0, 0, 0], [1, 0, 0])
+    np.testing.assert_array_equal(oh[0, 0, 1], [0, 1, 0])
+    np.testing.assert_array_equal(oh[0, 1, 0], [0, 0, 0])  # ignore -> zeros
+    np.testing.assert_array_equal(oh[0, 1, 1], [0, 0, 1])

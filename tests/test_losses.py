@@ -1,0 +1,314 @@
+"""Loss parity vs the reference PyTorch implementations (test oracle only).
+
+compute_unsupervised_loss and the OHEM/CE criteria are deterministic, so
+they are compared value-exact.  The contrastive memobank loss involves
+torch RNG for anchor/negative sampling; it is tested two ways:
+  * a crafted deterministic case (exactly one anchor candidate and one
+    bank key per class -> with-replacement sampling has a single outcome)
+    compared value-exact against the reference,
+  * enqueue/bank-content parity as sets.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "u2pl")), reason="reference not mounted"
+)
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from u2pl_tpu.config import ContrastiveCfg  # noqa: E402
+from u2pl_tpu.losses.ce import cross_entropy_ignore, supervised_loss  # noqa: E402
+from u2pl_tpu.losses.contrastive import compute_contra_memobank_loss  # noqa: E402
+from u2pl_tpu.losses.ohem import ohem_cross_entropy  # noqa: E402
+from u2pl_tpu.losses.unsup import compute_unsupervised_loss  # noqa: E402
+from u2pl_tpu.memobank import MemoryBank, init_memobank  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # skimage isn't installed; the reference imports it top-level in
+    # utils.py for AEL helpers the tested code never calls — stub it.
+    import types
+
+    if "skimage" not in sys.modules:
+        sk = types.ModuleType("skimage")
+        skm = types.ModuleType("skimage.measure")
+        skm.label = lambda *a, **k: (_ for _ in ()).throw(NotImplementedError)
+        skm.regionprops = skm.label
+        sk.measure = skm
+        sys.modules["skimage"] = sk
+        sys.modules["skimage.measure"] = skm
+    # reference loss code hard-codes .cuda(); run it on CPU
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    import torch.distributed as dist
+
+    if not dist.is_initialized():
+        dist.init_process_group(
+            "gloo", init_method="tcp://127.0.0.1:29517", rank=0, world_size=1
+        )
+    import u2pl.utils.loss_helper as lh
+
+    return lh
+
+
+def _rand_logits(rng, shape):
+    return rng.randn(*shape).astype(np.float32)
+
+
+def test_ce_ignore_matches_torch(ref):
+    rng = np.random.RandomState(0)
+    logits = _rand_logits(rng, (2, 8, 8, 5))
+    labels = rng.randint(0, 5, (2, 8, 8))
+    labels[0, :2] = 255
+    got = float(cross_entropy_ignore(jnp.asarray(logits), jnp.asarray(labels)))
+    want = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits).permute(0, 3, 1, 2),
+        torch.from_numpy(labels).long(),
+        ignore_index=255,
+    ).item()
+    assert abs(got - want) < 1e-5
+
+
+def test_criterion_aux_matches_reference(ref):
+    rng = np.random.RandomState(1)
+    pred = _rand_logits(rng, (2, 8, 8, 19))
+    aux = _rand_logits(rng, (2, 8, 8, 19))
+    labels = rng.randint(0, 19, (2, 8, 8))
+    labels[1, 3:] = 255
+    crit = ref.Criterion(aux_weight=0.4, ignore_index=255)
+    want = crit(
+        [
+            torch.from_numpy(pred).permute(0, 3, 1, 2),
+            torch.from_numpy(aux).permute(0, 3, 1, 2),
+        ],
+        torch.from_numpy(labels).long(),
+    ).item()
+    got = float(
+        supervised_loss(
+            jnp.asarray(pred), jnp.asarray(labels), jnp.asarray(aux), aux_weight=0.4
+        )
+    )
+    assert abs(got - want) < 1e-5
+
+
+@pytest.mark.parametrize("min_kept", [10, 50, 10000])
+def test_ohem_matches_reference(ref, min_kept):
+    rng = np.random.RandomState(2)
+    pred = _rand_logits(rng, (2, 16, 16, 19))
+    labels = rng.randint(0, 19, (2, 16, 16))
+    labels[0, :4] = 255
+    crit = ref.OhemCrossEntropy2dTensor(
+        ignore_index=255, thresh=0.7, min_kept=min_kept
+    )
+    want = crit(
+        torch.from_numpy(pred).permute(0, 3, 1, 2), torch.from_numpy(labels).long()
+    ).item()
+    got = float(
+        ohem_cross_entropy(
+            jnp.asarray(pred), jnp.asarray(labels), thresh=0.7, min_kept=min_kept
+        )
+    )
+    assert abs(got - want) < 1e-4
+
+
+@pytest.mark.parametrize("percent", [20.0, 80.0, 95.0])
+def test_unsup_loss_matches_reference(ref, percent):
+    rng = np.random.RandomState(3)
+    pred = _rand_logits(rng, (2, 16, 16, 5))
+    pred_t = _rand_logits(rng, (2, 16, 16, 5))
+    target = rng.randint(0, 5, (2, 16, 16))
+    target[0, :3] = 255
+    want = ref.compute_unsupervised_loss(
+        torch.from_numpy(pred).permute(0, 3, 1, 2),
+        torch.from_numpy(target).long().clone(),
+        percent,
+        torch.from_numpy(pred_t).permute(0, 3, 1, 2),
+    ).item()
+    got = float(
+        compute_unsupervised_loss(
+            jnp.asarray(pred), jnp.asarray(target), percent, jnp.asarray(pred_t)
+        )
+    )
+    # fp-boundary pixels at the percentile threshold may flip between the
+    # float32 on-device path and numpy's float64 percentile; allow for it
+    assert abs(got - want) / max(abs(want), 1.0) < 5e-3
+
+
+def _contra_cfg(**kw):
+    base = dict(
+        enabled=True,
+        negative_high_entropy=True,
+        low_rank=1,
+        high_rank=3,
+        current_class_threshold=0.3,
+        current_class_negative_threshold=1.0,
+        low_entropy_threshold=20.0,
+        num_negatives=3,
+        num_queries=4,
+        temperature=0.5,
+        max_keys_per_class_per_step=64,
+    )
+    base.update(kw)
+    return ContrastiveCfg(**base)
+
+
+def _ref_contra(ref, cfg, rep, label_l, label_u, prob_l, prob_u, low_m, high_m,
+                rep_t, bank_rows):
+    """Run the reference loss on NHWC numpy inputs; returns (loss, memobank)."""
+    t = lambda x: torch.from_numpy(np.ascontiguousarray(x))
+    nchw = lambda x: t(x).permute(0, 3, 1, 2).contiguous()
+    memobank, ptrs, sizes = [], [], []
+    num_classes = label_l.shape[-1]
+    for c in range(num_classes):
+        rows = bank_rows.get(c, np.zeros((0, rep.shape[-1]), np.float32))
+        memobank.append([t(rows)])
+        ptrs.append(torch.zeros(1, dtype=torch.long))
+        sizes.append(30000)
+    sizes[0] = 50000
+    cfg_d = dict(
+        current_class_threshold=cfg.current_class_threshold,
+        current_class_negative_threshold=cfg.current_class_negative_threshold,
+        low_rank=cfg.low_rank,
+        high_rank=cfg.high_rank,
+        temperature=cfg.temperature,
+        num_queries=cfg.num_queries,
+        num_negatives=cfg.num_negatives,
+    )
+    new_keys, loss = ref.compute_contra_memobank_loss(
+        nchw(rep),
+        nchw(label_l).long(),
+        nchw(label_u).long(),
+        nchw(prob_l),
+        nchw(prob_u),
+        nchw(low_m),
+        nchw(high_m),
+        cfg_d,
+        memobank,
+        ptrs,
+        sizes,
+        nchw(rep_t),
+    )
+    return float(loss.item()), memobank
+
+
+def test_contrastive_deterministic_case(ref):
+    """One anchor candidate + one bank key per class => sampling is
+    deterministic; values must match the reference exactly."""
+    rng = np.random.RandomState(4)
+    C, h, w, F = 4, 4, 4, 8
+    rep = rng.randn(2, h, w, F).astype(np.float32)
+    rep_t = rng.randn(2, h, w, F).astype(np.float32)
+
+    # labels: one pixel of each class in each image
+    lab_l = np.zeros((1, h, w), np.int64)
+    lab_u = np.zeros((1, h, w), np.int64)
+    for c in range(C):
+        lab_l[0, 0, c] = c
+        lab_u[0, 1, c] = c
+    onehot = lambda lab: np.eye(C, dtype=np.float32)[lab]
+    label_l, label_u = onehot(lab_l), onehot(lab_u)
+
+    # teacher probs: 0.9 on the label class at the designated anchor pixels,
+    # uniform elsewhere (below delta_p=0.3 for C=4 -> 0.25)
+    prob = np.full((2, h, w, C), 1.0 / C, np.float32)
+    for c in range(C):
+        prob[0, 0, c] = 0.1 / (C - 1)
+        prob[0, 0, c, c] = 0.9
+        prob[1, 1, c] = 0.1 / (C - 1)
+        prob[1, 1, c, c] = 0.9
+    prob_l, prob_u = prob[:1], prob[1:]
+
+    # low mask only on the anchor pixels; high mask empty (no enqueue)
+    low_m = np.zeros((2, h, w, 1), np.float32)
+    low_m[0, 0, :C, 0] = 1
+    low_m[1, 1, :C, 0] = 1
+    high_m = np.zeros((2, h, w, 1), np.float32)
+
+    bank_rows = {c: rng.randn(1, F).astype(np.float32) for c in range(C)}
+    cfg = _contra_cfg()
+
+    want, _ = _ref_contra(
+        ref, cfg, rep, label_l, label_u, prob_l, prob_u, low_m, high_m, rep_t,
+        bank_rows,
+    )
+
+    bank = init_memobank(C, F, dtype=jnp.float32)
+    keys = bank.keys
+    for c in range(C):
+        keys = keys.at[c, 0].set(bank_rows[c][0])
+    bank = MemoryBank(keys, bank.ptr, bank.occupancy + 1, bank.sizes)
+
+    new_bank, got = compute_contra_memobank_loss(
+        jnp.asarray(rep),
+        jnp.asarray(label_l),
+        jnp.asarray(label_u),
+        jnp.asarray(prob_l),
+        jnp.asarray(prob_u),
+        jnp.asarray(low_m),
+        jnp.asarray(high_m),
+        cfg,
+        bank,
+        jnp.asarray(rep_t),
+        jax.random.PRNGKey(0),
+    )
+    got = float(got)
+    assert abs(got - want) < 1e-4, (got, want)
+    # nothing enqueued (high mask empty)
+    np.testing.assert_array_equal(np.asarray(new_bank.occupancy), [1] * C)
+
+
+def test_contrastive_enqueue_parity(ref):
+    """Enqueued negative-key SETS per class must match the reference."""
+    rng = np.random.RandomState(5)
+    C, h, w, F = 5, 6, 6, 8
+    rep = rng.randn(4, h, w, F).astype(np.float32)
+    rep_t = rng.randn(4, h, w, F).astype(np.float32)
+    lab_l = rng.randint(0, C, (2, h, w))
+    lab_u = rng.randint(0, C, (2, h, w))
+    onehot = lambda lab: np.eye(C, dtype=np.float32)[lab]
+    label_l, label_u = onehot(lab_l), onehot(lab_u)
+    logits = rng.randn(4, h, w, C).astype(np.float32)
+    prob = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    prob_l, prob_u = prob[:2], prob[2:]
+    low_m = (rng.rand(4, h, w, 1) > 0.5).astype(np.float32)
+    high_m = (rng.rand(4, h, w, 1) > 0.3).astype(np.float32)
+
+    cfg = _contra_cfg()
+    _, ref_bank = _ref_contra(
+        ref, cfg, rep, label_l, label_u, prob_l, prob_u, low_m, high_m, rep_t, {}
+    )
+
+    bank = init_memobank(C, F, dtype=jnp.float32)
+    new_bank, _ = compute_contra_memobank_loss(
+        jnp.asarray(rep),
+        jnp.asarray(label_l),
+        jnp.asarray(label_u),
+        jnp.asarray(prob_l),
+        jnp.asarray(prob_u),
+        jnp.asarray(low_m),
+        jnp.asarray(high_m),
+        cfg,
+        bank,
+        jnp.asarray(rep_t),
+        jax.random.PRNGKey(1),
+    )
+    for c in range(C):
+        want_rows = ref_bank[c][0].numpy()
+        occ = int(new_bank.occupancy[c])
+        got_rows = np.asarray(new_bank.keys[c, :occ])
+        assert occ == want_rows.shape[0], (c, occ, want_rows.shape)
+        if occ:
+            got_sorted = got_rows[np.lexsort(got_rows.T)]
+            want_sorted = want_rows[np.lexsort(want_rows.T)]
+            np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-5)

@@ -1,0 +1,100 @@
+"""Benchmark: fused semi-supervised train-step throughput on real hardware.
+
+Measures images/sec/chip (labeled + unlabeled images consumed per step) of
+the FULL U2PL semi step — student fwd/bwd, two teacher forwards, entropy
+partition, CutMix, contrastive memobank loss with queue updates, EMA — on
+the flagship ResNet-101/DeepLabv3+ VOC config (513x513 crops, batch 4+4
+per chip, the reference's per-GPU batch).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the reference's published hardware story
+only indirectly (no throughput numbers exist in the reference repo —
+BASELINE.md); it is therefore reported as null.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from __graft_entry__ import _flagship_cfg
+    from u2pl_tpu.dist import make_mesh
+    from u2pl_tpu.memobank import init_memobank
+    from u2pl_tpu.models import build_model
+    from u2pl_tpu.train.optim import make_optimizer
+    from u2pl_tpu.train.state import copy_student_to_teacher, create_train_state
+    from u2pl_tpu.train.steps import make_semi_step
+
+    crop = 513
+    per_chip_batch = 4
+    cfg = _flagship_cfg(crop=crop)
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+
+    model = build_model(cfg.net, axis_name="data")
+    dummy = build_model(cfg.net, axis_name=None)
+    variables = jax.eval_shape(
+        lambda: dummy.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, crop, crop, 3)), train=False
+        )
+    )
+    tx = make_optimizer(cfg.trainer.optimizer, variables["params"], 10.0)
+    bank = init_memobank(cfg.net.num_classes, 256)
+    state = create_train_state(
+        model,
+        tx,
+        jax.random.PRNGKey(0),
+        (1, crop, crop, 3),
+        with_teacher=True,
+        bank=bank,
+        prototype=jnp.zeros((cfg.net.num_classes, 256, 1, 256)),
+    )
+    state = copy_student_to_teacher(state)
+    state = state.replace(step=state.step + 100)  # past warmup annealing edge
+
+    steps_per_epoch = 100
+    step = make_semi_step(cfg, model, tx, steps_per_epoch, mesh)
+
+    b = per_chip_batch * n_dev
+    rng = np.random.RandomState(0)
+    img_l = jnp.asarray(rng.randn(b, crop, crop, 3), jnp.float32)
+    lab_l = jnp.asarray(rng.randint(0, cfg.net.num_classes, (b, crop, crop)))
+    img_u = jnp.asarray(rng.randn(b, crop, crop, 3), jnp.float32)
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    state, m = step(state, img_l, lab_l, img_u, key)
+    jax.block_until_ready(m["sup_loss"])
+    for _ in range(3):
+        state, m = step(state, img_l, lab_l, img_u, key)
+    jax.block_until_ready(m["sup_loss"])
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, m = step(state, img_l, lab_l, img_u, key)
+    jax.block_until_ready(m["sup_loss"])
+    dt = time.perf_counter() - t0
+
+    imgs_per_step = 2 * b  # labeled + unlabeled
+    img_per_sec_per_chip = imgs_per_step * iters / dt / n_dev
+    print(
+        json.dumps(
+            {
+                "metric": "u2pl_semi_train_throughput",
+                "value": round(img_per_sec_per_chip, 3),
+                "unit": "img/s/chip (513px, bs4+4, ResNet-101 DeepLabv3+)",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

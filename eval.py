@@ -1,0 +1,153 @@
+"""Offline sliding-window / multi-scale evaluator CLI (reference eval.py
+parity): same flags (--config --model_path --save_folder --scales
+--base_size --names_path --crop), prefers teacher_state, cityscapes uses
+the overlapping crop grid averaged by visit counts, VOC the whole-image
+path; gray + color PNG masks are written and per-class IoU + mIoU printed.
+
+Additionally (an upgrade over the reference, which computes no metric on
+the VOC path — its cal_acc call is commented out, eval.py:155): mIoU is
+reported for both datasets.  Accepts this repo's .ckpt checkpoints AND
+reference torch .pth checkpoints (via the weight converter), enabling
+bit-matched comparisons.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from u2pl_tpu.config import load_config
+from u2pl_tpu.evallib.colormap import (
+    colorize,
+    create_cityscapes_label_colormap,
+    create_pascal_label_colormap,
+)
+from u2pl_tpu.evallib.metrics import intersection_and_union
+from u2pl_tpu.evallib.slide import make_net_process, predict_city, predict_whole
+from u2pl_tpu.models import build_model
+from u2pl_tpu.utils.checkpoint import load_model_variables
+from u2pl_tpu.utils.convert_torch import torch_to_flax
+from u2pl_tpu.utils.logging_utils import AverageMeter, init_log
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def get_parser():
+    parser = ArgumentParser(description="TPU Evaluation")
+    parser.add_argument("--base_size", type=int, default=2048)
+    parser.add_argument("--scales", type=float, default=[1.0], nargs="+")
+    parser.add_argument("--config", type=str, default="config.yaml")
+    parser.add_argument("--model_path", type=str, default="checkpoints/ckpt_best.ckpt")
+    parser.add_argument("--save_folder", type=str, default="checkpoints/results/")
+    parser.add_argument("--names_path", type=str, default="")
+    parser.add_argument("--crop", action="store_true", default=False)
+    return parser
+
+
+def build_data_list(cfg):
+    data_root = cfg.dataset.val.data_root
+    f_list = cfg.dataset.val.data_list
+    data_list = []
+    if "cityscapes" in data_root or "cityscapes" in cfg.dataset.type:
+        colormap = create_cityscapes_label_colormap()
+        for line in open(f_list):
+            s = line.strip()
+            data_list.append(
+                (
+                    os.path.join(data_root, s),
+                    os.path.join(
+                        data_root, "gtFine/" + s[12:-15] + "gtFine_labelTrainIds.png"
+                    ),
+                )
+            )
+    else:
+        colormap = create_pascal_label_colormap()
+        for line in open(f_list):
+            s = line.strip()
+            data_list.append(
+                (
+                    os.path.join(data_root, f"JPEGImages/{s}.jpg"),
+                    os.path.join(data_root, f"SegmentationClassAug/{s}.png"),
+                )
+            )
+    return data_list, colormap
+
+
+def load_variables(model, model_path, crop_size):
+    raw = load_model_variables(model_path, prefer_teacher=True)
+    if "torch_state_dict" in raw:
+        template = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, crop_size[0], crop_size[1], 3)),
+            train=False,
+        )
+        raw = torch_to_flax(raw["torch_state_dict"], template)
+    return jax.tree_util.tree_map(jnp.asarray, raw)
+
+
+def main():
+    args = get_parser().parse_args()
+    cfg = load_config(args.config)
+    logger = init_log("main-logger", logging.INFO)
+    logger.info(args)
+
+    num_classes = cfg.net.num_classes
+    mean = np.asarray(cfg.dataset.mean, np.float32)
+    std = np.asarray(cfg.dataset.std, np.float32)
+    crop_size = cfg.dataset.val.crop.size if cfg.dataset.val.crop else (769, 769)
+
+    gray_folder = os.path.join(args.save_folder, "gray")
+    color_folder = os.path.join(args.save_folder, "color")
+    os.makedirs(gray_folder, exist_ok=True)
+    os.makedirs(color_folder, exist_ok=True)
+
+    data_list, colormap = build_data_list(cfg)
+
+    # eval builds the model without SyncBN (reference eval.py:120)
+    model = build_model(cfg.net, axis_name=None)
+    variables = load_variables(model, args.model_path, crop_size)
+    net_process = make_net_process(model, variables)
+    logger.info("Load Model Done!")
+
+    is_city = "cityscapes" in cfg.dataset.type
+    inter_meter, union_meter = AverageMeter(), AverageMeter()
+    for i, (img_path, lab_path) in enumerate(data_list):
+        image = np.asarray(Image.open(img_path).convert("RGB"), np.float32)
+        image = (image - mean) / std
+        label = np.asarray(Image.open(lab_path).convert("L"), np.uint8)
+
+        if is_city:
+            gray = predict_city(
+                net_process, image, num_classes, args.base_size,
+                crop_size[0], crop_size[1], args.scales,
+            )
+        else:
+            gray = predict_whole(net_process, image, num_classes, args.scales)
+
+        name = os.path.splitext(os.path.basename(img_path))[0]
+        Image.fromarray(gray).save(os.path.join(gray_folder, name + ".png"))
+        colorize(gray, colormap).save(os.path.join(color_folder, name + ".png"))
+
+        inter, union, _ = intersection_and_union(gray, label, num_classes)
+        inter_meter.update(inter)
+        union_meter.update(union)
+        if (i + 1) % 10 == 0:
+            logger.info(f"Test: [{i + 1}/{len(data_list)}]")
+
+    iou_class = inter_meter.sum / (union_meter.sum + 1e-10)
+    for i, iou in enumerate(iou_class):
+        logger.info(" * class [{}] IoU {:.2f}".format(i, iou * 100))
+    logger.info(" * mIoU {:.2f}".format(np.mean(iou_class) * 100))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Single-forward inference CLI (reference infer.py parity): resize each
+val image to 769x769 (cityscapes) / 513x513 (VOC) with align-corners
+bilinear, one forward, upsample logits back, argmax, save gray + color
+masks.  The reference always uses the Pascal colormap, even for
+cityscapes paths (infer.py:112) — reproduced for parity.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from argparse import ArgumentParser
+
+import numpy as np
+
+import jax
+
+from u2pl_tpu.config import load_config
+from u2pl_tpu.evallib.colormap import colorize, create_pascal_label_colormap
+from u2pl_tpu.evallib.slide import make_net_process
+from u2pl_tpu.models import build_model
+from u2pl_tpu.ops.resize import resize_bilinear_numpy
+from u2pl_tpu.utils.logging_utils import init_log
+
+from eval import load_variables  # shared checkpoint loading
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+def get_parser():
+    parser = ArgumentParser(description="TPU Inference")
+    parser.add_argument("--config", type=str, default="config.yaml")
+    parser.add_argument("--model_path", type=str, default="checkpoints/ckpt_best.ckpt")
+    parser.add_argument("--save_folder", type=str, default="viewer")
+    return parser
+
+
+def main():
+    args = get_parser().parse_args()
+    cfg = load_config(args.config)
+    logger = init_log("main-logger", logging.INFO)
+    logger.info(args)
+
+    mean = np.asarray(cfg.dataset.mean, np.float32)
+    std = np.asarray(cfg.dataset.std, np.float32)
+    data_root = cfg.dataset.val.data_root
+    f_list = cfg.dataset.val.data_list
+
+    gray_folder = os.path.join(args.save_folder, "gray")
+    color_folder = os.path.join(args.save_folder, "color")
+    os.makedirs(gray_folder, exist_ok=True)
+    os.makedirs(color_folder, exist_ok=True)
+
+    data_list = []
+    if "cityscapes" in data_root or "cityscapes" in cfg.dataset.type:
+        input_scale = (769, 769)
+        for line in open(f_list):
+            s = line.strip()
+            data_list.append(os.path.join(data_root, s))
+    else:
+        input_scale = (513, 513)
+        for line in open(f_list):
+            s = line.strip()
+            data_list.append(os.path.join(data_root, f"JPEGImages/{s}.jpg"))
+
+    model = build_model(cfg.net, axis_name=None)
+    variables = load_variables(model, args.model_path, input_scale)
+    net_process = make_net_process(model, variables)
+    logger.info("Load Model Done!")
+
+    colormap = create_pascal_label_colormap()  # reference quirk: always pascal
+    for image_path in data_list:
+        image_name = os.path.basename(image_path)
+        image = np.asarray(Image.open(image_path).convert("RGB"), np.float32)
+        h, w, _ = image.shape
+        image = (image - mean) / std
+        image = resize_bilinear_numpy(image, input_scale, align_corners=True)
+        logits = net_process(image[None])[0]
+        logits = resize_bilinear_numpy(logits, (h, w), align_corners=True)
+        mask = logits.argmax(-1).astype(np.uint8)
+        colorize(mask, colormap).save(os.path.join(color_folder, image_name))
+        Image.fromarray(mask).save(os.path.join(gray_folder, image_name))
+
+
+if __name__ == "__main__":
+    main()

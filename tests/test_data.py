@@ -1,0 +1,105 @@
+"""Data pipeline tests: split parsing/subsampling parity with the seeded
+reference selection, transform behaviors (crop pad quirk, normalize,
+resize), loader shapes."""
+
+import os
+
+import numpy as np
+import pytest
+
+from u2pl_tpu.config import parse_config
+from u2pl_tpu.data.splits import parse_split, subsample
+from u2pl_tpu.data.transforms import (
+    Crop,
+    Normalize,
+    RandResize,
+    Resize,
+    build_transform,
+    gaussian_kernel,
+)
+
+REF_SPLITS = "/root/reference/data/splits"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SPLITS), reason="reference not mounted")
+def test_parse_pascal_split():
+    pairs = parse_split(os.path.join(REF_SPLITS, "pascal/1464/labeled.txt"))
+    assert len(pairs) == 1464
+    img, lab = pairs[0]
+    assert img.startswith("JPEGImages/") and img.endswith(".jpg")
+    assert lab.startswith("SegmentationClassAug/") and lab.endswith(".png")
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_SPLITS), reason="reference not mounted")
+def test_parse_cityscapes_split():
+    pairs = parse_split(os.path.join(REF_SPLITS, "cityscapes/744/labeled.txt"))
+    assert len(pairs) == 744
+    img, lab = pairs[0]
+    assert img.startswith("leftImg8bit/")
+    assert lab.startswith("gtFine/") and lab.endswith("gtFine_labelTrainIds.png")
+
+
+def test_subsample_matches_reference_semantics():
+    import math
+    import random
+
+    pairs = [(f"i{i}", f"l{i}") for i in range(100)]
+    # same algorithm, same seed -> same selection as reference voc_dset
+    got = subsample(pairs, 30, seed=2, split="train")
+    random.seed(2)
+    want = random.sample(pairs, 30)
+    assert got == want
+
+    got = subsample(pairs, 250, seed=2, split="train")  # oversample via repeat
+    random.seed(2)
+    want = random.sample(pairs * math.ceil(250 / 100), 250)
+    assert got == want
+    assert len(got) == 250
+
+    assert subsample(pairs, 30, seed=2, split="val") == pairs
+
+
+def test_crop_pads_label_with_zero_quirk():
+    img = np.ones((10, 12, 3), np.float32)
+    lab = np.full((10, 12), 7, np.int32)
+    c = Crop((16, 16), crop_type="center", ignore_label=255)
+    ci, cl = c(img, lab)
+    assert ci.shape == (16, 16, 3) and cl.shape == (16, 16)
+    assert (cl[0, :] == 0).all()  # padded with 0, NOT 255 (augmentation.py:242)
+    assert cl[8, 8] == 7
+    assert (ci[0, :] == 0).all()
+
+
+def test_normalize_and_resize():
+    img = np.full((8, 8, 3), 100.0, np.float32)
+    lab = np.zeros((8, 8), np.int32)
+    n = Normalize([50.0, 50.0, 50.0], [25.0, 25.0, 25.0])
+    ni, _ = n(img, lab)
+    assert np.allclose(ni, 2.0)
+    r = Resize((16, 20))
+    ri, rl = r(ni, lab)
+    assert ri.shape == (16, 20, 3) and rl.shape == (16, 20)
+
+
+def test_gaussian_kernel_matches_reference_recipe():
+    torch = pytest.importorskip("torch")
+    from scipy.ndimage import gaussian_filter
+
+    k = gaussian_kernel(2)
+    w = np.zeros((5, 5), np.float32)
+    w[2, 2] = 1
+    want = gaussian_filter(w, sigma=0.3 * (2 - 1) + 0.8)
+    np.testing.assert_allclose(k, want, atol=1e-7)
+
+
+def test_rand_resize_range():
+    import random
+
+    random.seed(0)
+    img = np.zeros((100, 100, 3), np.float32)
+    lab = np.zeros((100, 100), np.int32)
+    rr = RandResize((0.5, 2.0))
+    for _ in range(20):
+        ri, rl = rr(img, lab)
+        assert 49 <= ri.shape[0] <= 201
+        assert ri.shape[:2] == rl.shape

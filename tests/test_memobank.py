@@ -1,0 +1,49 @@
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from u2pl_tpu.memobank import MemoryBank, enqueue, init_memobank, sample
+
+
+def test_enqueue_and_wraparound():
+    bank = init_memobank(2, 4, queue_size=5, class0_size=8, dtype=jnp.float32)
+    assert bank.keys.shape == (2, 8, 4)
+
+    def slab(start, n, k=6):
+        keys = np.zeros((k, 4), np.float32)
+        valid = np.zeros((k,), bool)
+        keys[:n] = np.arange(start, start + n)[:, None]
+        valid[:n] = True
+        return keys, valid
+
+    k0, v0 = slab(0, 3)
+    k1, v1 = slab(100, 6)
+    bank = enqueue(bank, jnp.asarray([k0, k1]), jnp.asarray([v0, v1]))
+    np.testing.assert_array_equal(np.asarray(bank.occupancy), [3, 5])
+    np.testing.assert_array_equal(np.asarray(bank.ptr), [3, 1])  # 6 % 5 == 1
+    # class 1 ring: positions 0..4 hold 100..104, then 105 wrapped to pos 0
+    np.testing.assert_array_equal(
+        np.asarray(bank.keys[1, :5, 0]), [105, 101, 102, 103, 104]
+    )
+
+    # sampling only returns stored keys
+    samples, nonempty = sample(bank, jax.random.PRNGKey(0), 64)
+    assert bool(nonempty[0]) and bool(nonempty[1])
+    got0 = set(np.asarray(samples[0, :, 0]).tolist())
+    assert got0.issubset({0.0, 1.0, 2.0})
+
+
+def test_empty_class_sampling_flag():
+    bank = init_memobank(3, 4, queue_size=5, class0_size=5, dtype=jnp.float32)
+    _, nonempty = sample(bank, jax.random.PRNGKey(0), 8)
+    assert not bool(nonempty.any())
+
+
+def test_valid_mask_compaction_preserves_order():
+    bank = init_memobank(1, 2, queue_size=10, class0_size=10, dtype=jnp.float32)
+    keys = np.arange(8, dtype=np.float32).repeat(2).reshape(8, 2)
+    valid = np.array([0, 1, 0, 1, 1, 0, 0, 1], bool)
+    bank = enqueue(bank, jnp.asarray(keys[None]), jnp.asarray(valid[None]))
+    np.testing.assert_array_equal(np.asarray(bank.keys[0, :4, 0]), [1, 3, 4, 7])
+    assert int(bank.occupancy[0]) == 4

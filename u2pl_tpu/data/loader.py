@@ -1,0 +1,170 @@
+"""Dataset + prefetching batch loader for the host data pipeline.
+
+Replaces torch DataLoader/DistributedSampler (pascal_voc.py:74-157): a
+thread-pool decodes/augments the next batch while the device computes the
+current step, and per-epoch shuffling is deterministic in (seed, epoch).
+Multi-host sharding slices each global batch by process index; per-device
+sharding happens inside the jitted step via shard_map.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+import os
+import threading
+import queue as queue_mod
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from u2pl_tpu.config import Config, DatasetCfg
+from u2pl_tpu.data.splits import parse_split, subsample
+from u2pl_tpu.data.transforms import build_transform
+
+try:
+    from PIL import Image
+except ImportError:  # pragma: no cover
+    Image = None
+
+
+class SegDataset:
+    """Image/label pairs from a split file (reference voc_dset/city_dset)."""
+
+    def __init__(self, data_root, data_list, transform, seed=0, n_sup=None,
+                 split="val"):
+        pairs = parse_split(data_list)
+        if n_sup is not None:
+            pairs = subsample(pairs, n_sup, seed, split)
+        self.pairs = pairs
+        self.data_root = data_root
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def load_raw(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        img_p = os.path.join(self.data_root, self.pairs[i][0])
+        lab_p = os.path.join(self.data_root, self.pairs[i][1])
+        img = np.asarray(Image.open(img_p).convert("RGB"), np.float32)
+        lab = np.asarray(Image.open(lab_p).convert("L"), np.int32)
+        return img, lab
+
+    def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        img, lab = self.load_raw(i)
+        return self.transform(img, lab)
+
+
+def epoch_indices(n: int, epoch: int, seed: int, shuffle: bool = True) -> np.ndarray:
+    if not shuffle:
+        return np.arange(n)
+    rng = np.random.RandomState((seed + epoch) % (2**31))
+    return rng.permutation(n)
+
+
+class EpochLoader:
+    """Iterates batches for one epoch with background prefetch.
+
+    drop_last semantics match the reference train loaders
+    (pascal_voc.py:136-156).  `process_shard` slices the global batch for
+    multi-host runs: every host feeds its slice, the mesh assembles the
+    global array.
+    """
+
+    def __init__(
+        self,
+        dataset: SegDataset,
+        batch_size: int,
+        seed: int = 0,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        workers: int = 2,
+        prefetch: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.workers = max(workers, 1)
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        idx = epoch_indices(len(self.dataset), epoch, self.seed, self.shuffle)
+        nb = len(self)
+        batches = [
+            idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
+        ]
+        if self.process_count > 1:
+            per = self.batch_size // self.process_count
+            lo = self.process_index * per
+            batches = [b[lo : lo + per] for b in batches]
+
+        ex = futures.ThreadPoolExecutor(max_workers=self.workers)
+        pending: "queue_mod.Queue" = queue_mod.Queue()
+
+        def assemble(b):
+            samples = list(ex.map(self.dataset.__getitem__, b))
+            imgs = np.stack([s[0] for s in samples])
+            labs = np.stack([s[1] for s in samples])
+            return imgs, labs
+
+        try:
+            depth = min(self.prefetch, nb)
+            for b in batches[:depth]:
+                pending.put(ex.submit(assemble, b))
+            for i in range(nb):
+                fut = pending.get()
+                if i + depth < nb:
+                    pending.put(ex.submit(assemble, batches[i + depth]))
+                yield fut.result()
+        finally:
+            ex.shutdown(wait=False)
+
+
+def build_loaders(cfg: Config, seed: int = 0, process_index: int = 0,
+                  process_count: int = 1):
+    """get_loader parity (dataset/builder.py:9-43): returns
+    (sup, unsup, val) for *_semi dataset types, else (sup, val).
+
+    The unlabeled list is the labeled list with "labeled.txt" ->
+    "unlabeled.txt" (pascal_voc.py:131); the unlabeled n_sup is
+    pool - n_sup so both loaders have equal length (pascal_voc.py:109)."""
+    d = cfg.dataset
+    mk = lambda split_cfg: build_transform(split_cfg, d.mean, d.std, d.ignore_label)
+    common = dict(
+        workers=d.workers,
+        process_index=process_index,
+        process_count=process_count,
+    )
+
+    val_ds = SegDataset(d.val.data_root, d.val.data_list, mk(d.val), seed, None, "val")
+    val_loader = EpochLoader(
+        val_ds, d.batch_size, seed, shuffle=False, drop_last=False, **common
+    )
+
+    if d.is_semi:
+        n_unsup = d.pool_size - d.n_sup
+        sup_ds = SegDataset(
+            d.train.data_root, d.train.data_list, mk(d.train), seed, n_unsup, "train"
+        )
+        unsup_list = d.train.data_list.replace("labeled.txt", "unlabeled.txt")
+        unsup_ds = SegDataset(
+            d.train.data_root, unsup_list, mk(d.train), seed, n_unsup, "train"
+        )
+        sup_loader = EpochLoader(sup_ds, d.batch_size, seed, True, True, **common)
+        unsup_loader = EpochLoader(unsup_ds, d.batch_size, seed, True, True, **common)
+        return sup_loader, unsup_loader, val_loader
+
+    sup_ds = SegDataset(
+        d.train.data_root, d.train.data_list, mk(d.train), seed, d.n_sup, "train"
+    )
+    sup_loader = EpochLoader(sup_ds, d.batch_size, seed, True, True, **common)
+    return sup_loader, val_loader

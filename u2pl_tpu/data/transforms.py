@@ -1,0 +1,239 @@
+"""Host-side geometric augmentation pipeline (numpy / cv2 / scipy).
+
+Parity with the reference tensor-based transform stack
+(dataset/augmentation.py): normalize, random resize (bilinear
+half-pixel for images = torch align_corners=False = cv2 INTER_LINEAR;
+floor-index nearest for labels = torch mode="nearest"), random rotation,
+gaussian blur (the reference's conv-with-gaussian-kernel, radius 2, sigma
+0.3*(r-1)+0.8, zero padding — augmentation.py:325-346), horizontal flip,
+and crop-with-padding.
+
+Reproduced quirk: `Crop` force-overrides the label pad value to 0
+regardless of ignore_label (augmentation.py:242-243) — padded label pixels
+become class 0, not ignore.  Every published number was trained with that
+behavior, so it is kept, with `pad_label_zero=False` available to opt out.
+
+RNG: python `random` (and numpy for blur coin), exactly the modules the
+reference uses, so per-worker stream behavior matches.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+from scipy.ndimage import convolve as nd_convolve
+from scipy.ndimage import gaussian_filter
+
+from u2pl_tpu.config import SplitCfg
+from u2pl_tpu.ops.resize import resize_bilinear_numpy, resize_nearest_numpy
+
+Sample = Tuple[np.ndarray, np.ndarray]  # (img HWC float32, label HW int32)
+
+
+def _resize_img(img: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    h, w = int(size[0]), int(size[1])
+    if cv2 is not None:
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_LINEAR)
+    return resize_bilinear_numpy(img, (h, w), align_corners=False)
+
+
+def _resize_label(label: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    return resize_nearest_numpy(label, size)
+
+
+class Normalize:
+    def __init__(self, mean: Sequence[float], std: Sequence[float]):
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+
+    def __call__(self, img, label):
+        return (img - self.mean) / self.std, label
+
+
+class Resize:
+    def __init__(self, size):
+        self.size = size
+
+    def __call__(self, img, label):
+        return _resize_img(img, self.size), _resize_label(label, self.size)
+
+
+class ResizeLongSize:
+    """augmentation.py:132-156 (note the reference hard-codes 2048 in the
+    h<=w branch; reproduced)."""
+
+    def __init__(self, size: int = 2048):
+        self.size = size
+
+    def __call__(self, img, label):
+        h, w = img.shape[:2]
+        if h > w:
+            new = (self.size, int(self.size * w / h))
+        else:
+            new = (int(2048 * h / w), self.size)
+        return _resize_img(img, new), _resize_label(label, new)
+
+
+class RandResize:
+    """augmentation.py:159-211: scale drawn as
+    s = s_min + (1-s_min)*u with p=0.5 else 1 + (s_max-1)*u."""
+
+    def __init__(self, scale, aspect_ratio=None):
+        self.scale = scale
+        self.aspect_ratio = aspect_ratio
+
+    def __call__(self, img, label):
+        if random.random() < 0.5:
+            temp_scale = self.scale[0] + (1.0 - self.scale[0]) * random.random()
+        else:
+            temp_scale = 1.0 + (self.scale[1] - 1.0) * random.random()
+        temp_ar = 1.0
+        if self.aspect_ratio is not None:
+            temp_ar = self.aspect_ratio[0] + (
+                self.aspect_ratio[1] - self.aspect_ratio[0]
+            ) * random.random()
+            temp_ar = float(np.sqrt(temp_ar))
+        h, w = img.shape[:2]
+        new_w = int(w * temp_scale * temp_ar)
+        new_h = int(h * temp_scale / temp_ar)
+        return _resize_img(img, (new_h, new_w)), _resize_label(label, (new_h, new_w))
+
+
+class RandRotate:
+    """augmentation.py:269-296 (unused by the shipped configs): rotate by a
+    uniform angle; out-of-frame label pixels become ignore_label."""
+
+    def __init__(self, rotate, ignore_label=255):
+        self.rotate = rotate
+        self.ignore_label = ignore_label
+
+    def __call__(self, img, label):
+        angle = self.rotate[0] + (self.rotate[1] - self.rotate[0]) * random.random()
+        h, w = img.shape[:2]
+        if cv2 is None:
+            return img, label
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1)
+        img = cv2.warpAffine(
+            img, m, (w, h), flags=cv2.INTER_LINEAR, borderValue=0.0
+        )
+        lab = cv2.warpAffine(
+            (label + 1).astype(np.float32),
+            m,
+            (w, h),
+            flags=cv2.INTER_NEAREST,
+            borderValue=0.0,
+        )
+        lab[lab == 0] = self.ignore_label + 1
+        return img, (lab - 1).astype(label.dtype)
+
+
+class RandomHorizontalFlip:
+    def __call__(self, img, label):
+        if random.random() < 0.5:
+            return img[:, ::-1].copy(), label[:, ::-1].copy()
+        return img, label
+
+
+def gaussian_kernel(radius: int = 2) -> np.ndarray:
+    """The reference's kernel: gaussian_filter applied to a delta on a
+    (2r+1)^2 grid, sigma = 0.3*(r-1)+0.8 (augmentation.py:329-343)."""
+    k = 2 * radius + 1
+    sigma = 0.3 * (radius - 1) + 0.8
+    delta = np.zeros((k, k), np.float32)
+    delta[radius, radius] = 1
+    return gaussian_filter(delta, sigma=sigma).astype(np.float32)
+
+
+class RandomGaussianBlur:
+    def __init__(self, radius: int = 2):
+        self.kernel = gaussian_kernel(radius)
+
+    def __call__(self, img, label):
+        if random.random() < 0.5:
+            out = np.empty_like(img)
+            for c in range(img.shape[2]):
+                # zero padding == torch conv2d(padding=radius) on the border
+                out[:, :, c] = nd_convolve(
+                    img[:, :, c], self.kernel, mode="constant", cval=0.0
+                )
+            img = out
+        return img, label
+
+
+class Crop:
+    """augmentation.py:214-266 incl. the label-pad-0 quirk (:242-243)."""
+
+    def __init__(self, size, crop_type="center", ignore_label=255,
+                 pad_label_zero=True):
+        self.ch, self.cw = (size, size) if isinstance(size, int) else size
+        self.crop_type = crop_type
+        self.pad_label = 0 if pad_label_zero else ignore_label
+
+    def __call__(self, img, label):
+        h, w = img.shape[:2]
+        pad_h = max(self.ch - h, 0)
+        pad_w = max(self.cw - w, 0)
+        if pad_h > 0 or pad_w > 0:
+            ph0, pw0 = pad_h // 2, pad_w // 2
+            img = np.pad(
+                img,
+                ((ph0, pad_h - ph0), (pw0, pad_w - pw0), (0, 0)),
+                constant_values=0.0,
+            )
+            label = np.pad(
+                label,
+                ((ph0, pad_h - ph0), (pw0, pad_w - pw0)),
+                constant_values=self.pad_label,
+            )
+        h, w = img.shape[:2]
+        if self.crop_type == "rand":
+            y0 = random.randint(0, h - self.ch)
+            x0 = random.randint(0, w - self.cw)
+        else:
+            y0 = (h - self.ch) // 2
+            x0 = (w - self.cw) // 2
+        return (
+            np.ascontiguousarray(img[y0 : y0 + self.ch, x0 : x0 + self.cw]),
+            np.ascontiguousarray(label[y0 : y0 + self.ch, x0 : x0 + self.cw]),
+        )
+
+
+def build_transform(
+    split_cfg: SplitCfg,
+    mean: Sequence[float],
+    std: Sequence[float],
+    ignore_label: int,
+) -> Callable[[np.ndarray, np.ndarray], Sample]:
+    """Pipeline mirroring reference build_transfrom (pascal_voc.py:48-71)."""
+    ts: List[Callable] = [Normalize(mean, std)]
+    if split_cfg.resize:
+        ts.append(Resize(split_cfg.resize))
+    if split_cfg.rand_resize:
+        ts.append(RandResize(split_cfg.rand_resize))
+    if split_cfg.rand_rotation:
+        ts.append(RandRotate(split_cfg.rand_rotation, ignore_label))
+    if split_cfg.gaussian_blur:
+        ts.append(RandomGaussianBlur())
+    if split_cfg.flip:
+        ts.append(RandomHorizontalFlip())
+    if split_cfg.crop:
+        ts.append(
+            Crop(split_cfg.crop.size, split_cfg.crop.type, ignore_label)
+        )
+
+    def apply(img: np.ndarray, label: np.ndarray) -> Sample:
+        img = img.astype(np.float32)
+        label = label.astype(np.int32)
+        for t in ts:
+            img, label = t(img, label)
+        return img, label
+
+    return apply

@@ -1,0 +1,54 @@
+"""Device mesh / distributed runtime setup.
+
+Replaces the reference NCCL/SLURM bootstrap (dist_helper.py:13-46) with
+jax.distributed + a 1-D ("data",) jax.sharding.Mesh over all devices.  All
+collectives (grad pmean, SyncBN pmean, loss psum, memobank all_gather) are
+compiled into the train step by XLA and ride ICI; there is no process-group
+object, no barrier, and no pickle transport.
+
+Multi-host: call `initialize_distributed()` before device enumeration —
+it no-ops for single-process runs and uses jax.distributed auto-detection
+(SLURM/OpenMPI env) otherwise.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+log = logging.getLogger("global")
+
+
+def initialize_distributed() -> None:
+    """Multi-host init (no-op single-process). Mirrors the role of the
+    reference setup_distributed (dist_helper.py:13-46)."""
+    if int(os.environ.get("U2PL_TPU_MULTIHOST", "0")):
+        jax.distributed.initialize()
+
+
+def make_mesh(num_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), ("data",))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def world_size(mesh: Mesh) -> int:
+    return mesh.devices.size
+
+
+def process_is_primary() -> bool:
+    return jax.process_index() == 0

@@ -230,6 +230,8 @@ class ResNet(nn.Module):
 def resnet_spec(name: str) -> dict:
     """Layer/block spec by reference factory name (resnet.py:295-402)."""
     specs = {
+        # tiny variant (not in the reference) for tests/benchmark dry-runs
+        "resnet10": dict(layers=(1, 1, 1, 1), block="bottleneck"),
         "resnet18": dict(layers=(2, 2, 2, 2), block="basic"),
         "resnet34": dict(layers=(3, 4, 6, 3), block="basic"),
         "resnet50": dict(layers=(3, 4, 6, 3), block="bottleneck"),

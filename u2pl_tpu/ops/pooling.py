@@ -34,9 +34,12 @@ def max_pool_ceil(
     b, h, w, c = x.shape
     _, extra_h = _ceil_pool_pad(h, kernel, stride, pad)
     _, extra_w = _ceil_pool_pad(w, kernel, stride, pad)
-    neg = jnp.asarray(-jnp.inf, x.dtype) if jnp.issubdtype(
-        x.dtype, jnp.floating
-    ) else jnp.iinfo(x.dtype).min
+    # NB: init value must be a host scalar — a DeviceArray init breaks
+    # reverse-mode linearization of reduce_window under shard_map
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        neg = np.asarray(-np.inf, x.dtype)
+    else:
+        neg = np.asarray(np.iinfo(x.dtype).min, x.dtype)
     return jax.lax.reduce_window(
         x,
         neg,

@@ -1,0 +1,60 @@
+"""In-training distributed validation (reference train_semi.py:595-654).
+
+Center-cropped fixed-shape val batches -> one jitted forward + argmax +
+on-device per-class intersection/union; only two (C,) vectors return to
+host per batch.  mIoU = mean(inter/union) accumulated over the val set.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from u2pl_tpu.config import Config
+from u2pl_tpu.evallib.metrics import intersection_and_union_device
+from u2pl_tpu.ops.resize import resize_bilinear
+
+
+def make_val_step(model, num_classes: int, ignore_label: int) -> Callable:
+    @jax.jit
+    def val_step(variables, images, labels):
+        out = model.apply(variables, images, train=False)["pred"]
+        out = resize_bilinear(out, labels.shape[1:3], align_corners=True)
+        pred = out.argmax(-1).astype(jnp.int32)
+        return intersection_and_union_device(
+            pred, labels, num_classes, ignore_label
+        )
+
+    return val_step
+
+
+def validate(
+    model,
+    params,
+    batch_stats,
+    val_loader,
+    cfg: Config,
+    epoch: int = 0,
+    logger: Optional[logging.Logger] = None,
+) -> float:
+    val_step = make_val_step(model, cfg.net.num_classes, cfg.dataset.ignore_label)
+    variables = {"params": params, "batch_stats": batch_stats}
+    inter_sum = np.zeros(cfg.net.num_classes, np.int64)
+    union_sum = np.zeros(cfg.net.num_classes, np.int64)
+    for images, labels in val_loader.epoch(epoch):
+        inter, union, _ = val_step(
+            variables, jnp.asarray(images), jnp.asarray(labels)
+        )
+        inter_sum += np.asarray(inter, np.int64)
+        union_sum += np.asarray(union, np.int64)
+    iou_class = inter_sum / (union_sum + 1e-10)
+    miou = float(np.mean(iou_class))
+    if logger is not None:
+        for i, iou in enumerate(iou_class):
+            logger.info(" * class [{}] IoU {:.2f}".format(i, iou * 100))
+        logger.info(" * epoch {} mIoU {:.2f}".format(epoch, miou * 100))
+    return miou

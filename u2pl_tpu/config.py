@@ -50,11 +50,14 @@ class DatasetCfg:
     std: Tuple[float, ...] = (58.395, 57.12, 57.375)
     ignore_label: int = 255
     noise_std: float = 0.1  # present in reference configs, unused there too
+    pool_size_override: Optional[int] = None  # for tests/custom datasets
 
     @property
     def pool_size(self) -> int:
         # full train-pool sizes used to derive the unlabeled n_sup
         # (reference: pascal_voc.py:109 `10582 - n_sup`, cityscapes.py:116)
+        if self.pool_size_override is not None:
+            return self.pool_size_override
         return 2975 if "cityscapes" in self.type else 10582
 
     @property
@@ -229,6 +232,9 @@ def parse_config(raw: Dict[str, Any], exp_path: str = "") -> Config:
         std=tuple(dset.get("std", (58.395, 57.12, 57.375))),
         ignore_label=int(dset.get("ignore_label", 255)),
         noise_std=float(dset.get("noise_std", 0.1)),
+        pool_size_override=(
+            int(dset["pool_size"]) if dset.get("pool_size") else None
+        ),
     )
 
     opt = trainer.get("optimizer", {}) or {}

@@ -45,8 +45,10 @@ class SegDataset:
     def load_raw(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
         img_p = os.path.join(self.data_root, self.pairs[i][0])
         lab_p = os.path.join(self.data_root, self.pairs[i][1])
-        img = np.asarray(Image.open(img_p).convert("RGB"), np.float32)
-        lab = np.asarray(Image.open(lab_p).convert("L"), np.int32)
+        # keep uint8: the native fused transform consumes raw bytes; the
+        # numpy pipeline converts to float32 itself
+        img = np.asarray(Image.open(img_p).convert("RGB"), np.uint8)
+        lab = np.asarray(Image.open(lab_p).convert("L"), np.uint8)
         return img, lab
 
     def __getitem__(self, i: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -19,6 +19,7 @@ reference uses, so per-worker stream behavior matches.
 
 from __future__ import annotations
 
+import os
 import random
 from typing import Callable, List, Optional, Sequence, Tuple
 
@@ -206,13 +207,86 @@ class Crop:
         )
 
 
+class FusedNativeTransform:
+    """Single-pass C++ implementation of the standard pipeline
+    (normalize -> rand_resize -> hflip -> crop-with-pad) via
+    u2pl_tpu.native.  Draws random numbers with the SAME python `random`
+    call sequence as the sequential transforms, so sample streams are
+    identical to the numpy path for a given seed."""
+
+    def __init__(self, split_cfg: SplitCfg, mean, std, ignore_label: int):
+        self.rand_resize = split_cfg.rand_resize
+        self.flip = split_cfg.flip
+        assert split_cfg.crop is not None
+        self.crop_h, self.crop_w = split_cfg.crop.size
+        self.crop_rand = split_cfg.crop.type == "rand"
+        self.mean = np.asarray(mean, np.float32)
+        self.std = np.asarray(std, np.float32)
+        self.pad_label = 0  # reference quirk (augmentation.py:242-243)
+
+    def __call__(self, img: np.ndarray, label: np.ndarray) -> Sample:
+        from u2pl_tpu import native
+
+        h, w = img.shape[:2]
+        if self.rand_resize:
+            if random.random() < 0.5:
+                s = self.rand_resize[0] + (1.0 - self.rand_resize[0]) * random.random()
+            else:
+                s = 1.0 + (self.rand_resize[1] - 1.0) * random.random()
+            new_h, new_w = int(h * s), int(w * s)
+        else:
+            new_h, new_w = h, w
+        flip = self.flip and random.random() < 0.5
+        padded_h = max(new_h, self.crop_h)
+        padded_w = max(new_w, self.crop_w)
+        if self.crop_rand:
+            off_y = random.randint(0, padded_h - self.crop_h)
+            off_x = random.randint(0, padded_w - self.crop_w)
+        else:
+            off_y = (padded_h - self.crop_h) // 2
+            off_x = (padded_w - self.crop_w) // 2
+        return native.augment_sample(
+            np.ascontiguousarray(img, np.uint8),
+            np.ascontiguousarray(label, np.uint8),
+            self.mean,
+            self.std,
+            new_h,
+            new_w,
+            flip,
+            self.crop_h,
+            self.crop_w,
+            off_y,
+            off_x,
+            self.pad_label,
+        )
+
+
+def _native_fast_path_ok(split_cfg: SplitCfg) -> bool:
+    if os.environ.get("U2PL_TPU_NO_NATIVE"):
+        return False
+    if split_cfg.crop is None:
+        return False
+    # blur/rotation/fixed-resize fall back to the numpy pipeline
+    if split_cfg.gaussian_blur or split_cfg.rand_rotation or split_cfg.resize:
+        return False
+    try:
+        from u2pl_tpu import native
+
+        return native.available()
+    except Exception:  # pragma: no cover
+        return False
+
+
 def build_transform(
     split_cfg: SplitCfg,
     mean: Sequence[float],
     std: Sequence[float],
     ignore_label: int,
 ) -> Callable[[np.ndarray, np.ndarray], Sample]:
-    """Pipeline mirroring reference build_transfrom (pascal_voc.py:48-71)."""
+    """Pipeline mirroring reference build_transfrom (pascal_voc.py:48-71).
+    Uses the fused C++ path when the configured pipeline allows it."""
+    if _native_fast_path_ok(split_cfg):
+        return FusedNativeTransform(split_cfg, mean, std, ignore_label)
     ts: List[Callable] = [Normalize(mean, std)]
     if split_cfg.resize:
         ts.append(Resize(split_cfg.resize))

@@ -23,6 +23,9 @@ import numpy as np
 
 
 def main():
+    import dataclasses
+    import os
+
     from __graft_entry__ import _flagship_cfg
     from u2pl_tpu.dist import make_mesh
     from u2pl_tpu.memobank import init_memobank
@@ -32,8 +35,10 @@ def main():
     from u2pl_tpu.train.steps import make_semi_step
 
     crop = 513
-    per_chip_batch = 4
+    per_chip_batch = int(os.environ.get("U2PL_BENCH_BATCH", "4"))
+    dtype = os.environ.get("U2PL_BENCH_DTYPE", "bfloat16")
     cfg = _flagship_cfg(crop=crop)
+    cfg = dataclasses.replace(cfg, net=dataclasses.replace(cfg.net, dtype=dtype))
     mesh = make_mesh()
     n_dev = mesh.devices.size
 
@@ -68,18 +73,19 @@ def main():
     img_u = jnp.asarray(rng.randn(b, crop, crop, 3), jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup
+    # compile + warmup (device_get forces a real round-trip through the
+    # runtime: block_until_ready alone does not serialize on this platform)
     state, m = step(state, img_l, lab_l, img_u, key)
-    jax.block_until_ready(m["sup_loss"])
-    for _ in range(3):
+    float(jax.device_get(m["sup_loss"]))
+    for _ in range(5):
         state, m = step(state, img_l, lab_l, img_u, key)
-    jax.block_until_ready(m["sup_loss"])
+        float(jax.device_get(m["sup_loss"]))
 
-    iters = 10
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, img_l, lab_l, img_u, key)
-    jax.block_until_ready(m["sup_loss"])
+        float(jax.device_get(m["sup_loss"]))
     dt = time.perf_counter() - t0
 
     imgs_per_step = 2 * b  # labeled + unlabeled
@@ -89,7 +95,10 @@ def main():
             {
                 "metric": "u2pl_semi_train_throughput",
                 "value": round(img_per_sec_per_chip, 3),
-                "unit": "img/s/chip (513px, bs4+4, ResNet-101 DeepLabv3+)",
+                "unit": (
+                    f"img/s/chip (513px, bs{per_chip_batch}+{per_chip_batch}, "
+                    f"ResNet-101 DeepLabv3+, {dtype})"
+                ),
                 "vs_baseline": None,
             }
         )

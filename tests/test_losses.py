@@ -122,6 +122,21 @@ def test_ohem_matches_reference(ref, min_kept):
     assert abs(got - want) < 1e-4
 
 
+def test_rce_loss_matches_reference(ref):
+    from u2pl_tpu.losses.rce import compute_rce_loss
+
+    rng = np.random.RandomState(11)
+    pred = _rand_logits(rng, (2, 8, 8, 5))
+    target = rng.randint(0, 5, (2, 8, 8))
+    target[0, :2] = 255
+    want = ref.compute_rce_loss(
+        torch.from_numpy(pred).permute(0, 3, 1, 2),
+        torch.from_numpy(target).long(),
+    ).item()
+    got = float(compute_rce_loss(jnp.asarray(pred), jnp.asarray(target)))
+    assert abs(got - want) < 1e-4
+
+
 @pytest.mark.parametrize("percent", [20.0, 80.0, 95.0])
 def test_unsup_loss_matches_reference(ref, percent):
     rng = np.random.RandomState(3)

@@ -170,6 +170,9 @@ class NetCfg:
     aux_loss: Optional[AuxLossCfg] = None
     encoder: EncoderCfg = field(default_factory=EncoderCfg)
     decoder: DecoderCfg = field(default_factory=DecoderCfg)
+    # TPU-native addition: conv/matmul compute dtype ("float32"|"bfloat16").
+    # Params, BN statistics and all loss math stay float32.
+    dtype: str = "float32"
 
 
 @dataclass(frozen=True)
@@ -365,6 +368,7 @@ def parse_config(raw: Dict[str, Any], exp_path: str = "") -> Config:
         aux_loss=aux_cfg,
         encoder=encoder_cfg,
         decoder=decoder_cfg,
+        dtype=str(net.get("dtype", "float32")),
     )
 
     return Config(

@@ -86,8 +86,10 @@ class SegModel(nn.Module):
 
 
 def build_model(
-    net: NetCfg, axis_name: Optional[str] = None, dtype: Any = jnp.float32
+    net: NetCfg, axis_name: Optional[str] = None, dtype: Any = None
 ) -> SegModel:
     if not net.sync_bn:
         axis_name = None
+    if dtype is None:
+        dtype = jnp.dtype(net.dtype)
     return SegModel(net=net, axis_name=axis_name, dtype=dtype)

@@ -73,19 +73,27 @@ def main():
     img_u = jnp.asarray(rng.randn(b, crop, crop, 3), jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup (device_get forces a real round-trip through the
-    # runtime: block_until_ready alone does not serialize on this platform)
+    # Sync discipline: the runtime streams outputs as they complete, so a
+    # loss scalar (produced early in the program) is NOT a step barrier;
+    # the updated params are produced last.  Steps are serialized by the
+    # state dependency chain, so timing N pipelined steps and syncing on
+    # the final params leaf measures true step time without per-step
+    # host round-trips.
+    def sync(s, metrics):
+        jax.device_get(jax.tree_util.tree_leaves(s.params)[0])
+        return jax.device_get(metrics)
+
     state, m = step(state, img_l, lab_l, img_u, key)
-    float(jax.device_get(m["sup_loss"]))
-    for _ in range(5):
+    sync(state, m)
+    for _ in range(3):
         state, m = step(state, img_l, lab_l, img_u, key)
-        float(jax.device_get(m["sup_loss"]))
+    sync(state, m)
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, img_l, lab_l, img_u, key)
-        float(jax.device_get(m["sup_loss"]))
+    sync(state, m)
     dt = time.perf_counter() - t0
 
     imgs_per_step = 2 * b  # labeled + unlabeled

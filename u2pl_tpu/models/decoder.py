@@ -37,7 +37,7 @@ class ASPP(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = make_norm(self.axis_name)
+        norm = make_norm(self.axis_name, dtype=self.dtype)
         ra = not train
 
         # branch 1: global average pooling -> 1x1 conv -> broadcast back
@@ -94,7 +94,7 @@ class DeepLabV3Plus(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence, train: bool = False):
         x1, x2, x3, x4 = feats
-        norm = make_norm(self.axis_name)
+        norm = make_norm(self.axis_name, dtype=self.dtype)
         ra = not train
 
         aspp_out = ASPP(
@@ -139,7 +139,7 @@ class DeepLabV3(nn.Module):
     @nn.compact
     def __call__(self, feats: Sequence, train: bool = False):
         x4 = feats[-1]
-        norm = make_norm(self.axis_name)
+        norm = make_norm(self.axis_name, dtype=self.dtype)
         ra = not train
         h = ASPP(
             self.inner_planes,
@@ -162,7 +162,7 @@ class AuxHead(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = make_norm(self.axis_name)
+        norm = make_norm(self.axis_name, dtype=self.dtype)
         h = Conv(256, 3, use_bias=True, dtype=self.dtype, name="conv1")(x)
         h = nn.relu(norm(use_running_average=not train, name="bn1")(h))
         h = nn.Dropout(0.1, broadcast_dims=(1, 2), deterministic=not train)(h)

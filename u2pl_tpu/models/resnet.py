@@ -30,16 +30,22 @@ conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
 def make_norm(
-    axis_name: Optional[str], momentum: float = 0.9, epsilon: float = 1e-5
+    axis_name: Optional[str],
+    momentum: float = 0.9,
+    epsilon: float = 1e-5,
+    dtype: Any = jnp.float32,
 ) -> Callable[..., nn.Module]:
-    """BatchNorm factory. Stats and affine math stay in float32 even under a
-    bfloat16 compute policy; `axis_name` turns it into SyncBN inside SPMD."""
+    """BatchNorm factory. Batch statistics are always computed/stored in
+    float32 (flax upcasts stat reduction internally); `dtype` controls the
+    normalization arithmetic/output so bf16 activations stay bf16 between
+    layers instead of bouncing through f32 in HBM. `axis_name` turns it
+    into SyncBN inside SPMD."""
     return functools.partial(
         nn.BatchNorm,
         momentum=momentum,
         epsilon=epsilon,
         axis_name=axis_name,
-        dtype=jnp.float32,
+        dtype=dtype,
         param_dtype=jnp.float32,
     )
 
@@ -171,7 +177,7 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        norm = make_norm(self.axis_name)
+        norm = make_norm(self.axis_name, dtype=self.dtype)
         ra = not train
         block_cls = self.block_cls
 

@@ -244,10 +244,10 @@ def test_contrastive_deterministic_case(ref):
         prob[1, 1, c, c] = 0.9
     prob_l, prob_u = prob[:1], prob[1:]
 
-    # low mask only on the anchor pixels; high mask empty (no enqueue)
+    # low mask only on the labeled anchor pixels (ONE candidate per class,
+    # so with-replacement sampling is deterministic); high mask empty
     low_m = np.zeros((2, h, w, 1), np.float32)
     low_m[0, 0, :C, 0] = 1
-    low_m[1, 1, :C, 0] = 1
     high_m = np.zeros((2, h, w, 1), np.float32)
 
     bank_rows = {c: rng.randn(1, F).astype(np.float32) for c in range(C)}
@@ -278,7 +278,7 @@ def test_contrastive_deterministic_case(ref):
         jax.random.PRNGKey(0),
     )
     got = float(got)
-    assert abs(got - want) < 1e-4, (got, want)
+    assert abs(got - want) < 5e-4, (got, want)
     # nothing enqueued (high mask empty)
     np.testing.assert_array_equal(np.asarray(new_bank.occupancy), [1] * C)
 

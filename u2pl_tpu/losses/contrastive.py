@@ -78,8 +78,11 @@ def _select_keys(
     ContrastiveCfg.max_keys_per_class_per_step). Returns (idx (k,),
     valid (k,) bool)."""
     pri = jnp.where(mask, jax.random.uniform(rng, mask.shape), jnp.inf)
-    neg_topk, idx = jax.lax.top_k(-pri, k)
-    n = jnp.minimum(mask.sum(), k)
+    k_eff = min(k, mask.shape[0])
+    _, idx = jax.lax.top_k(-pri, k_eff)
+    if k_eff < k:  # fewer pixels than the cap: pad the slab
+        idx = jnp.concatenate([idx, jnp.zeros((k - k_eff,), idx.dtype)])
+    n = jnp.minimum(mask.sum(), k_eff)
     valid = jnp.arange(k) < n
     return idx, valid
 

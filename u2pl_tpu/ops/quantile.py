@@ -17,6 +17,35 @@ import jax
 import jax.numpy as jnp
 
 
+def masked_sort(values: jax.Array, mask: jax.Array):
+    """Sort `values` with invalid entries pushed to +inf.  Returns
+    (sorted_values (N,), n_valid scalar int32).  One sort can then serve
+    several percentile queries (the semi step needs three percentiles of
+    the SAME masked entropy per iteration — reference loss_helper.py:38,
+    train_semi.py:405,412)."""
+    v = values.reshape(-1).astype(jnp.float32)
+    m = mask.reshape(-1)
+    n = m.sum().astype(jnp.int32)
+    big = jnp.asarray(jnp.inf, jnp.float32)
+    v = jnp.where(m, v, big)
+    return jnp.sort(v), n
+
+
+def percentile_from_sorted(
+    sorted_vals: jax.Array, n: jax.Array, percent: jax.Array
+) -> jax.Array:
+    """numpy 'linear' percentile from a masked sort."""
+    pct = jnp.asarray(percent, jnp.float32)
+    rank = pct / 100.0 * jnp.maximum(n - 1, 0).astype(jnp.float32)
+    lo = jnp.floor(rank).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, jnp.maximum(n - 1, 0))
+    frac = rank - lo.astype(jnp.float32)
+    v_lo = sorted_vals[jnp.clip(lo, 0, sorted_vals.shape[0] - 1)]
+    v_hi = sorted_vals[jnp.clip(hi, 0, sorted_vals.shape[0] - 1)]
+    out = v_lo + frac * (v_hi - v_lo)
+    return jnp.where(n > 0, out, jnp.asarray(jnp.inf, jnp.float32))
+
+
 def masked_percentile(
     values: jax.Array, mask: jax.Array, percent: jax.Array
 ) -> jax.Array:
@@ -27,19 +56,5 @@ def masked_percentile(
     empty returns +inf (callers gate on validity; the reference would have
     crashed on an empty mask).
     """
-    v = values.reshape(-1).astype(jnp.float32)
-    m = mask.reshape(-1)
-    n = m.sum().astype(jnp.int32)
-    # push invalid entries to +inf so the first n sorted entries are valid
-    big = jnp.asarray(jnp.inf, jnp.float32)
-    v = jnp.where(m, v, big)
-    v = jnp.sort(v)
-    pct = jnp.asarray(percent, jnp.float32)
-    rank = pct / 100.0 * jnp.maximum(n - 1, 0).astype(jnp.float32)
-    lo = jnp.floor(rank).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, jnp.maximum(n - 1, 0))
-    frac = rank - lo.astype(jnp.float32)
-    v_lo = v[jnp.clip(lo, 0, v.shape[0] - 1)]
-    v_hi = v[jnp.clip(hi, 0, v.shape[0] - 1)]
-    out = v_lo + frac * (v_hi - v_lo)
-    return jnp.where(n > 0, out, big)
+    sorted_vals, n = masked_sort(values, mask)
+    return percentile_from_sorted(sorted_vals, n, percent)

@@ -34,10 +34,10 @@ from u2pl_tpu.config import Config
 from u2pl_tpu.losses.ce import supervised_loss
 from u2pl_tpu.losses.contrastive import compute_contra_memobank_loss
 from u2pl_tpu.losses.ohem import ohem_supervised_loss
-from u2pl_tpu.losses.unsup import compute_unsupervised_loss
+from u2pl_tpu.losses.unsup import compute_unsupervised_loss, teacher_entropy
 from u2pl_tpu.ops.mixing import generate_unsup_data
 from u2pl_tpu.ops.one_hot import label_onehot
-from u2pl_tpu.ops.quantile import masked_percentile
+from u2pl_tpu.ops.quantile import masked_sort, percentile_from_sorted
 from u2pl_tpu.ops.resize import resize_bilinear, resize_nearest
 from u2pl_tpu.train.lr import lr_at
 from u2pl_tpu.train.optim import apply_updates_with_lr
@@ -300,15 +300,29 @@ def make_semi_step(
         prob_u_teacher = prob_all_teacher[b_l:]
         pred_u_large_teacher = _upsample(pred_all_teacher[b_l:], hw)
 
+        # ---- shared entropy machinery: ONE masked sort serves the unsup
+        # drop percentile and both contrastive thresholds (the reference
+        # pays three np.percentile host syncs; loss_helper.py:38,
+        # train_semi.py:405,412) ----
+        entropy = teacher_entropy(pred_u_large_teacher)
+        valid_u = label_u_aug != ignore_label
+        sorted_ent, n_valid_ent = masked_sort(entropy, valid_u)
+
+        # drop-percent annealing (:377-379)
+        percent_unreliable = (100.0 - unsup_cfg.drop_percent) * (
+            1.0 - epoch / epochs
+        )
+        drop_percent = 100.0 - percent_unreliable
+        drop_thresh = percentile_from_sorted(sorted_ent, n_valid_ent, drop_percent)
+
         # ---- contrastive masks (:397-465), on-device percentiles ----
         contra_prep = None
         if contra_cfg is not None:
             alpha_t = contra_cfg.low_entropy_threshold * (1.0 - epoch / epochs)
-            prob_full = jax.nn.softmax(pred_u_large_teacher, axis=-1)
-            entropy = -jnp.sum(prob_full * jnp.log(prob_full + 1e-10), axis=-1)
-            valid_u = label_u_aug != ignore_label
-            low_thresh = masked_percentile(entropy, valid_u, alpha_t)
-            high_thresh = masked_percentile(entropy, valid_u, 100.0 - alpha_t)
+            low_thresh = percentile_from_sorted(sorted_ent, n_valid_ent, alpha_t)
+            high_thresh = percentile_from_sorted(
+                sorted_ent, n_valid_ent, 100.0 - alpha_t
+            )
             low_entropy_mask = (entropy <= low_thresh) & valid_u
             high_entropy_mask = (entropy >= high_thresh) & valid_u
 
@@ -338,12 +352,6 @@ def make_semi_step(
                 high_mask_small,
             )
 
-        # drop-percent annealing (:377-379)
-        percent_unreliable = (100.0 - unsup_cfg.drop_percent) * (
-            1.0 - epoch / epochs
-        )
-        drop_percent = 100.0 - percent_unreliable
-
         def loss_fn(params):
             outs, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -366,6 +374,8 @@ def make_semi_step(
                     drop_percent,
                     pred_u_large_teacher,
                     ignore_label,
+                    entropy=entropy,
+                    thresh=drop_thresh,
                 )
                 * unsup_cfg.loss_weight
             )

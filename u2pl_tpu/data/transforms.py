@@ -207,6 +207,73 @@ class Crop:
         )
 
 
+class Cutout:
+    """Host-pipeline cutout (augmentation.py:349-395), used by the AEL
+    workflow's cityscapes transform builder (cityscapes.py:70-72).  Returns
+    the reference's 5-tuple (img_origin, label_origin, img, label, valid)
+    protocol; the mainline loaders never append it (parity with the
+    reference main branch)."""
+
+    def __init__(self, n_holes: int, length: int):
+        self.n_holes = n_holes
+        self.length = length
+
+    def __call__(self, img, label):
+        h, w = img.shape[:2]
+        img_origin, label_origin = img.copy(), label.copy()
+        mask = np.ones((h, w), np.float32)
+        valid = np.zeros((h, w), np.float32)
+        for _ in range(self.n_holes):
+            y = np.random.randint(h)
+            x = np.random.randint(w)
+            y1, y2 = np.clip(y - self.length // 2, 0, h), np.clip(y + self.length // 2, 0, h)
+            x1, x2 = np.clip(x - self.length // 2, 0, w), np.clip(x + self.length // 2, 0, w)
+            mask[y1:y2, x1:x2] = 0.0
+            valid[y1:y2, x1:x2] = 255
+        return img_origin, label_origin, img * mask[:, :, None], label, valid
+
+
+class Cutmix:
+    """Host-pipeline cutmix mask generator (augmentation.py:398-468):
+    returns (img, label, masks) with per-sample box masks drawn from the
+    prop_range area distribution."""
+
+    def __init__(self, prop_range, n_holes: int = 1, random_aspect_ratio=True,
+                 within_bounds=True):
+        self.prop_range = (
+            (prop_range, prop_range) if isinstance(prop_range, float) else prop_range
+        )
+        self.n_holes = n_holes
+        self.random_aspect_ratio = random_aspect_ratio
+        self.within_bounds = within_bounds
+
+    def __call__(self, img, label):
+        h, w = img.shape[:2]
+        n_masks = 1
+        props = np.random.uniform(*self.prop_range, size=(n_masks, self.n_holes))
+        if self.random_aspect_ratio:
+            y_props = np.exp(
+                np.random.uniform(0, 1, (n_masks, self.n_holes)) * np.log(props)
+            )
+            x_props = props / y_props
+        else:
+            y_props = x_props = np.sqrt(props)
+        fac = np.sqrt(1.0 / self.n_holes)
+        y_props, x_props = y_props * fac, x_props * fac
+        sizes = np.round(
+            np.stack([y_props, x_props], 2) * np.array((h, w))[None, None, :]
+        )
+        positions = np.round(
+            (np.array((h, w)) - sizes) * np.random.uniform(0, 1, sizes.shape)
+        )
+        rectangles = np.append(positions, positions + sizes, axis=2)
+        masks = np.zeros((n_masks, 1, h, w), np.float32)
+        for i, sample_rect in enumerate(rectangles):
+            for y0, x0, y1, x1 in sample_rect:
+                masks[i, 0, int(y0) : int(y1), int(x0) : int(x1)] = 1
+        return img, label, masks
+
+
 class FusedNativeTransform:
     """Single-pass C++ implementation of the standard pipeline
     (normalize -> rand_resize -> hflip -> crop-with-pad) via

@@ -152,6 +152,9 @@ class EncoderCfg:
     fpn: bool = False
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
     pretrained: bool = True
+    # TPU-native addition: rematerialize residual blocks in the backward
+    # pass (jax.checkpoint) to trade FLOPs for HBM when scaling batch/crop.
+    remat: bool = False
 
 
 @dataclass(frozen=True)
@@ -350,6 +353,7 @@ def parse_config(raw: Dict[str, Any], exp_path: str = "") -> Config:
             enc_kwargs.get("replace_stride_with_dilation", (False, False, False))
         ),
         pretrained=bool(enc_kwargs.get("pretrained", True)),
+        remat=bool(enc_kwargs.get("remat", False)),
     )
 
     dec = net.get("decoder", {}) or {}

@@ -41,6 +41,7 @@ class SegModel(nn.Module):
             multi_grid=self.net.encoder.multi_grid,
             zero_init_residual=self.net.encoder.zero_init_residual,
             fpn=self.net.encoder.fpn,
+            remat=self.net.encoder.remat,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="encoder",

@@ -162,24 +162,34 @@ class ResNet(nn.Module):
     fpn: bool = True
     axis_name: Optional[str] = None
     dtype: Any = jnp.float32
+    remat: bool = False  # jax.checkpoint residual blocks (HBM for FLOPs)
 
     @property
-    def block_cls(self):
+    def raw_block_cls(self):
         return Bottleneck if self.block == "bottleneck" else BasicBlock
 
     @property
+    def block_cls(self):
+        cls = self.raw_block_cls
+        if self.remat:
+            # static_argnums: 0=self(module), 1=x, 2=train flag
+            cls = nn.remat(cls, static_argnums=(2,))
+        return cls
+
+    @property
     def out_planes(self) -> int:
-        return 512 * self.block_cls.expansion
+        return 512 * self.raw_block_cls.expansion
 
     @property
     def aux_planes(self) -> int:
-        return 256 * self.block_cls.expansion
+        return 256 * self.raw_block_cls.expansion
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         norm = make_norm(self.axis_name, dtype=self.dtype)
         ra = not train
         block_cls = self.block_cls
+        expansion = self.raw_block_cls.expansion
 
         # deep stem (reference resnet.py:178-191)
         x = Conv(64, 3, 2, dtype=self.dtype, name="stem_conv1")(x)
@@ -218,13 +228,13 @@ class ResNet(nn.Module):
                     stride=stride if first else 1,
                     dilation=(previous_dilation if first else dilation) * grids[bi],
                     has_downsample=first
-                    and (stride != 1 or inplanes != planes * block_cls.expansion),
+                    and (stride != 1 or inplanes != planes * expansion),
                     zero_init_residual=self.zero_init_residual,
                     norm=norm,
                     dtype=self.dtype,
                     name=f"layer{si + 1}_{bi}",
-                )(x, train=train)
-            inplanes = planes * block_cls.expansion
+                )(x, train)
+            inplanes = planes * expansion
             feats.append(x)
 
         x1, x2, x3, x4 = feats

@@ -13,8 +13,6 @@ from argparse import ArgumentParser
 
 import numpy as np
 
-import jax
-
 from u2pl_tpu.config import load_config
 from u2pl_tpu.evallib.colormap import colorize, create_pascal_label_colormap
 from u2pl_tpu.evallib.slide import make_net_process

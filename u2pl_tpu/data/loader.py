@@ -11,13 +11,12 @@ from __future__ import annotations
 
 import concurrent.futures as futures
 import os
-import threading
 import queue as queue_mod
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 
-from u2pl_tpu.config import Config, DatasetCfg
+from u2pl_tpu.config import Config
 from u2pl_tpu.data.splits import parse_split, subsample
 from u2pl_tpu.data.transforms import build_transform
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, List, Sequence, Tuple
 
 import numpy as np
 

@@ -18,7 +18,7 @@ per-crop model function is jitted once per unique crop shape.
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import os
 import subprocess
-import sys
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 

@@ -13,8 +13,6 @@ multistep actually works (0.1 decay at each milestone epoch).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 
 from u2pl_tpu.config import LRSchedulerCfg

@@ -12,10 +12,9 @@ manual scaling so the whole schedule stays inside the compiled step.
 
 from __future__ import annotations
 
-from typing import Any, Callable
+from typing import Any
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from u2pl_tpu.config import OptimizerCfg

@@ -51,6 +51,10 @@ class DatasetCfg:
     ignore_label: int = 255
     noise_std: float = 0.1  # present in reference configs, unused there too
     pool_size_override: Optional[int] = None  # for tests/custom datasets
+    # TPU-native addition: ship uint8 crops to the device and normalize
+    # inside the compiled step (4x less H2D traffic than host-normalized
+    # float32; sub-LSB quantization of resampled pixels).
+    device_normalize: bool = False
 
     @property
     def pool_size(self) -> int:
@@ -241,6 +245,7 @@ def parse_config(raw: Dict[str, Any], exp_path: str = "") -> Config:
         pool_size_override=(
             int(dset["pool_size"]) if dset.get("pool_size") else None
         ),
+        device_normalize=bool(dset.get("device_normalize", False)),
     )
 
     opt = trainer.get("optimizer", {}) or {}

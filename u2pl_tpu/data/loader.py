@@ -139,7 +139,10 @@ def build_loaders(cfg: Config, seed: int = 0, process_index: int = 0,
     "unlabeled.txt" (pascal_voc.py:131); the unlabeled n_sup is
     pool - n_sup so both loaders have equal length (pascal_voc.py:109)."""
     d = cfg.dataset
-    mk = lambda split_cfg: build_transform(split_cfg, d.mean, d.std, d.ignore_label)
+    u8 = d.device_normalize
+    mk = lambda split_cfg, u8=u8: build_transform(
+        split_cfg, d.mean, d.std, d.ignore_label, output_u8=u8
+    )
     common = dict(
         workers=d.workers,
         process_index=process_index,

@@ -173,10 +173,11 @@ class Crop:
     """augmentation.py:214-266 incl. the label-pad-0 quirk (:242-243)."""
 
     def __init__(self, size, crop_type="center", ignore_label=255,
-                 pad_label_zero=True):
+                 pad_label_zero=True, img_pad=None):
         self.ch, self.cw = (size, size) if isinstance(size, int) else size
         self.crop_type = crop_type
         self.pad_label = 0 if pad_label_zero else ignore_label
+        self.img_pad = img_pad  # per-channel image pad (u8 mode); else 0
 
     def __call__(self, img, label):
         h, w = img.shape[:2]
@@ -184,11 +185,24 @@ class Crop:
         pad_w = max(self.cw - w, 0)
         if pad_h > 0 or pad_w > 0:
             ph0, pw0 = pad_h // 2, pad_w // 2
-            img = np.pad(
-                img,
-                ((ph0, pad_h - ph0), (pw0, pad_w - pw0), (0, 0)),
-                constant_values=0.0,
-            )
+            if self.img_pad is None:
+                img = np.pad(
+                    img,
+                    ((ph0, pad_h - ph0), (pw0, pad_w - pw0), (0, 0)),
+                    constant_values=0.0,
+                )
+            else:
+                img = np.stack(
+                    [
+                        np.pad(
+                            img[:, :, c],
+                            ((ph0, pad_h - ph0), (pw0, pad_w - pw0)),
+                            constant_values=self.img_pad[c],
+                        )
+                        for c in range(img.shape[2])
+                    ],
+                    axis=-1,
+                )
             label = np.pad(
                 label,
                 ((ph0, pad_h - ph0), (pw0, pad_w - pw0)),
@@ -281,14 +295,24 @@ class FusedNativeTransform:
     call sequence as the sequential transforms, so sample streams are
     identical to the numpy path for a given seed."""
 
-    def __init__(self, split_cfg: SplitCfg, mean, std, ignore_label: int):
+    def __init__(self, split_cfg: SplitCfg, mean, std, ignore_label: int,
+                 output_u8: bool = False):
         self.rand_resize = split_cfg.rand_resize
         self.flip = split_cfg.flip
         assert split_cfg.crop is not None
         self.crop_h, self.crop_w = split_cfg.crop.size
         self.crop_rand = split_cfg.crop.type == "rand"
-        self.mean = np.asarray(mean, np.float32)
-        self.std = np.asarray(std, np.float32)
+        self.output_u8 = output_u8
+        if output_u8:  # device normalizes; emit raw resampled bytes.
+            # pad with round(mean) so device-normalized padding stays ~0
+            # like the reference's normalized-zero padding
+            self.pad_rgb = np.rint(np.asarray(mean, np.float32))
+            self.mean = np.zeros(3, np.float32)
+            self.std = np.ones(3, np.float32)
+        else:
+            self.pad_rgb = np.zeros(3, np.float32)
+            self.mean = np.asarray(mean, np.float32)
+            self.std = np.asarray(std, np.float32)
         self.pad_label = 0  # reference quirk (augmentation.py:242-243)
 
     def __call__(self, img: np.ndarray, label: np.ndarray) -> Sample:
@@ -312,7 +336,7 @@ class FusedNativeTransform:
         else:
             off_y = (padded_h - self.crop_h) // 2
             off_x = (padded_w - self.crop_w) // 2
-        return native.augment_sample(
+        out_img, out_lab = native.augment_sample(
             np.ascontiguousarray(img, np.uint8),
             np.ascontiguousarray(label, np.uint8),
             self.mean,
@@ -325,7 +349,11 @@ class FusedNativeTransform:
             off_y,
             off_x,
             self.pad_label,
+            self.pad_rgb,
         )
+        if self.output_u8:
+            out_img = np.clip(np.rint(out_img), 0, 255).astype(np.uint8)
+        return out_img, out_lab
 
 
 def _native_fast_path_ok(split_cfg: SplitCfg) -> bool:
@@ -349,12 +377,15 @@ def build_transform(
     mean: Sequence[float],
     std: Sequence[float],
     ignore_label: int,
+    output_u8: bool = False,
 ) -> Callable[[np.ndarray, np.ndarray], Sample]:
     """Pipeline mirroring reference build_transfrom (pascal_voc.py:48-71).
-    Uses the fused C++ path when the configured pipeline allows it."""
+    Uses the fused C++ path when the configured pipeline allows it.
+    output_u8: emit raw uint8 crops for on-device normalization."""
     if _native_fast_path_ok(split_cfg):
-        return FusedNativeTransform(split_cfg, mean, std, ignore_label)
-    ts: List[Callable] = [Normalize(mean, std)]
+        return FusedNativeTransform(split_cfg, mean, std, ignore_label, output_u8)
+    ts: List[Callable] = [] if output_u8 else [Normalize(mean, std)]
+    img_pad = tuple(float(v) for v in np.rint(np.asarray(mean))) if output_u8 else None
     if split_cfg.resize:
         ts.append(Resize(split_cfg.resize))
     if split_cfg.rand_resize:
@@ -367,7 +398,8 @@ def build_transform(
         ts.append(RandomHorizontalFlip())
     if split_cfg.crop:
         ts.append(
-            Crop(split_cfg.crop.size, split_cfg.crop.type, ignore_label)
+            Crop(split_cfg.crop.size, split_cfg.crop.type, ignore_label,
+                 img_pad=img_pad)
         )
 
     def apply(img: np.ndarray, label: np.ndarray) -> Sample:
@@ -375,6 +407,8 @@ def build_transform(
         label = label.astype(np.int32)
         for t in ts:
             img, label = t(img, label)
+        if output_u8:
+            img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
         return img, label
 
     return apply

@@ -33,7 +33,7 @@ def load() -> Optional[ctypes.CDLL]:
     i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     c = ctypes.c_int
     lib.u2pl_augment_sample.argtypes = [
-        u8p, c, c, u8p, f32p, f32p, c, c, c, c, c, c, c, c, f32p, i32p,
+        u8p, c, c, u8p, f32p, f32p, f32p, c, c, c, c, c, c, c, c, f32p, i32p,
     ]
     lib.u2pl_augment_sample.restype = None
     lib.u2pl_gaussian_blur.argtypes = [f32p, c, c, f32p, c, f32p]
@@ -59,9 +59,12 @@ def augment_sample(
     off_y: int,
     off_x: int,
     pad_label: int,
+    pad_rgb: np.ndarray = None,
 ):
     lib = load()
     assert lib is not None
+    if pad_rgb is None:
+        pad_rgb = np.zeros(3, np.float32)
     out_img = np.empty((crop_h, crop_w, 3), np.float32)
     out_lab = np.empty((crop_h, crop_w), np.int32)
     lib.u2pl_augment_sample(
@@ -71,6 +74,7 @@ def augment_sample(
         np.ascontiguousarray(label),
         np.ascontiguousarray(mean, dtype=np.float32),
         np.ascontiguousarray(std, dtype=np.float32),
+        np.ascontiguousarray(pad_rgb, dtype=np.float32),
         int(new_h),
         int(new_w),
         int(bool(flip)),

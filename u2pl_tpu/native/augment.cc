@@ -60,6 +60,7 @@ extern "C" {
 void u2pl_augment_sample(const uint8_t* img, int h, int w,
                          const uint8_t* label,
                          const float* mean, const float* stdv,
+                         const float* pad_rgb,
                          int new_h, int new_w, int flip,
                          int crop_h, int crop_w, int off_y, int off_x,
                          int pad_label,
@@ -81,11 +82,12 @@ void u2pl_augment_sample(const uint8_t* img, int h, int w,
       float* op = out_img + (oy * crop_w + ox) * 3;
       int32_t* lp = out_label + oy * crop_w + ox;
       if (!row_in || sxi < 0 || sxi >= new_w) {
-        // zero-pad image is 0 BEFORE normalization in the reference
-        // (Normalize runs first, pad later) -> padded value is exactly 0
-        op[0] = 0.f;
-        op[1] = 0.f;
-        op[2] = 0.f;
+        // reference pads the already-normalized image with 0 (Normalize
+        // runs before Crop) -> pad_rgb is 0 in normalized mode and
+        // round(mean) raw bytes in uint8 mode
+        op[0] = pad_rgb[0];
+        op[1] = pad_rgb[1];
+        op[2] = pad_rgb[2];
         *lp = pad_label;
         continue;
       }

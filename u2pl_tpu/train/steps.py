@@ -28,6 +28,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from u2pl_tpu.config import Config
@@ -68,6 +69,20 @@ def _upsample(pred: jax.Array, hw: Tuple[int, int]) -> jax.Array:
     return resize_bilinear(pred, hw, align_corners=True)
 
 
+def make_normalizer(cfg: Config) -> Callable:
+    """On-device normalization for the uint8 H2D path
+    (dataset.device_normalize): float batches pass through untouched."""
+    mean = np.asarray(cfg.dataset.mean, np.float32)
+    std = np.asarray(cfg.dataset.std, np.float32)
+
+    def norm(img: jax.Array) -> jax.Array:
+        if img.dtype == jnp.uint8:
+            return (img.astype(jnp.float32) - mean) / std
+        return img
+
+    return norm
+
+
 def _grad_metrics_and_update(
     cfg, tx, max_iter, steps_per_epoch, state, grads, axis_name
 ):
@@ -96,7 +111,10 @@ def make_sup_step(
     sup_loss_fn = make_sup_loss_fn(cfg)
     has_aux = cfg.net.aux_loss is not None
 
+    normalize = make_normalizer(cfg)
+
     def step_fn(state: TrainState, image: jax.Array, label: jax.Array, rng):
+        image = normalize(image)
         hw = label.shape[1:3]
         drop_rng = jax.random.fold_in(
             jax.random.fold_in(rng, jax.lax.axis_index(AXIS)), state.step
@@ -158,7 +176,10 @@ def make_semi_warmup_step(
     sup_loss_fn = make_sup_loss_fn(cfg)
     has_aux = cfg.net.aux_loss is not None
 
+    normalize = make_normalizer(cfg)
+
     def step_fn(state: TrainState, image_l, label_l, image_u, rng):
+        image_l, image_u = normalize(image_l), normalize(image_u)
         hw = label_l.shape[1:3]
         dev_rng = jax.random.fold_in(
             jax.random.fold_in(rng, jax.lax.axis_index(AXIS)), state.step
@@ -242,7 +263,10 @@ def make_semi_step(
     contra_cfg = cfg.trainer.contrastive
     ema_decay_origin = cfg.net.ema_decay
 
+    normalize = make_normalizer(cfg)
+
     def step_fn(state: TrainState, image_l, label_l, image_u, rng):
+        image_l, image_u = normalize(image_l), normalize(image_u)
         b_l, h, w = label_l.shape
         hw = (h, w)
         i_iter = state.step

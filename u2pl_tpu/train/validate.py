@@ -19,9 +19,17 @@ from u2pl_tpu.evallib.metrics import intersection_and_union_device
 from u2pl_tpu.ops.resize import resize_bilinear
 
 
-def make_val_step(model, num_classes: int, ignore_label: int) -> Callable:
+def make_val_step(model, num_classes: int, ignore_label: int,
+                  mean=None, std=None) -> Callable:
+    import numpy as _np
+
+    mean = None if mean is None else _np.asarray(mean, _np.float32)
+    std = None if std is None else _np.asarray(std, _np.float32)
+
     @jax.jit
     def val_step(variables, images, labels):
+        if images.dtype == jnp.uint8 and mean is not None:
+            images = (images.astype(jnp.float32) - mean) / std
         out = model.apply(variables, images, train=False)["pred"]
         out = resize_bilinear(out, labels.shape[1:3], align_corners=True)
         pred = out.argmax(-1).astype(jnp.int32)
@@ -41,7 +49,10 @@ def validate(
     epoch: int = 0,
     logger: Optional[logging.Logger] = None,
 ) -> float:
-    val_step = make_val_step(model, cfg.net.num_classes, cfg.dataset.ignore_label)
+    val_step = make_val_step(
+        model, cfg.net.num_classes, cfg.dataset.ignore_label,
+        cfg.dataset.mean, cfg.dataset.std,
+    )
     variables = {"params": params, "batch_stats": batch_stats}
     inter_sum = np.zeros(cfg.net.num_classes, np.int64)
     union_sum = np.zeros(cfg.net.num_classes, np.int64)

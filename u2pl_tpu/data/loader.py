@@ -112,7 +112,11 @@ class EpochLoader:
         pending: "queue_mod.Queue" = queue_mod.Queue()
 
         def assemble(b):
-            samples = list(ex.map(self.dataset.__getitem__, b))
+            # decode/augment sequentially within this worker thread;
+            # parallelism comes from `workers` concurrent batch assemblies
+            # (nesting pool tasks inside pool tasks deadlocks when all
+            # workers hold assemble jobs)
+            samples = [self.dataset[i] for i in b]
             imgs = np.stack([s[0] for s in samples])
             labs = np.stack([s[1] for s in samples])
             return imgs, labs

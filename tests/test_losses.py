@@ -122,6 +122,57 @@ def test_ohem_matches_reference(ref, min_kept):
     assert abs(got - want) < 1e-4
 
 
+def test_ohem_use_weight_matches_reference(ref):
+    rng = np.random.RandomState(21)
+    pred = _rand_logits(rng, (2, 12, 12, 19))
+    labels = rng.randint(0, 19, (2, 12, 12))
+    labels[0, :2] = 255
+    crit = ref.OhemCrossEntropy2dTensor(
+        ignore_index=255, thresh=0.7, min_kept=50, use_weight=True
+    )
+    want = crit(
+        torch.from_numpy(pred).permute(0, 3, 1, 2), torch.from_numpy(labels).long()
+    ).item()
+    got = float(
+        ohem_cross_entropy(
+            jnp.asarray(pred), jnp.asarray(labels), thresh=0.7, min_kept=50,
+            use_weight=True,
+        )
+    )
+    assert abs(got - want) < 1e-4
+
+
+def test_criterion_use_weight_matches_reference(ref):
+    # cityscapes-only path: CE + binary-weighted CE added on top — but ONLY
+    # in the aux branch; without aux the reference ignores use_weight
+    # (loss_helper.py:295-319 quirk)
+    rng = np.random.RandomState(22)
+    pred = _rand_logits(rng, (2, 10, 10, 19))
+    aux = _rand_logits(rng, (2, 10, 10, 19))
+    labels = rng.randint(0, 19, (2, 10, 10))
+    tp = torch.from_numpy(pred).permute(0, 3, 1, 2)
+    ta = torch.from_numpy(aux).permute(0, 3, 1, 2)
+    tl = torch.from_numpy(labels).long()
+
+    crit = ref.Criterion(aux_weight=0.4, ignore_index=255, use_weight=True)
+    want = crit([tp, ta], tl).item()
+    got = float(
+        supervised_loss(
+            jnp.asarray(pred), jnp.asarray(labels), jnp.asarray(aux),
+            aux_weight=0.4, use_weight=True,
+        )
+    )
+    assert abs(got - want) < 1e-4
+
+    # non-aux branch: use_weight must be a no-op
+    crit0 = ref.Criterion(aux_weight=0, ignore_index=255, use_weight=True)
+    want0 = crit0(tp, tl).item()
+    got0 = float(
+        supervised_loss(jnp.asarray(pred), jnp.asarray(labels), use_weight=True)
+    )
+    assert abs(got0 - want0) < 1e-5
+
+
 def test_rce_loss_matches_reference(ref):
     from u2pl_tpu.losses.rce import compute_rce_loss
 

@@ -56,12 +56,16 @@ def supervised_loss(
 ) -> jax.Array:
     """`Criterion` parity (loss_helper.py:295-320): main CE (+ the binary-
     weighted CE added on top when use_weight) + aux_weight * aux CE.
-    pred/aux must already be upsampled to label resolution."""
+    pred/aux must already be upsampled to label resolution.
+
+    Reference quirk kept: use_weight only takes effect together with the
+    aux head — the non-aux branch (:316-319) ignores it entirely."""
     loss = cross_entropy_ignore(pred, labels, ignore_label)
-    if use_weight:
+    has_aux = aux is not None and aux_weight > 0
+    if use_weight and has_aux:
         loss = loss + cross_entropy_ignore(
             pred, labels, ignore_label, jnp.asarray(CITYSCAPES_BINARY_WEIGHT)
         )
-    if aux is not None and aux_weight > 0:
+    if has_aux:
         loss = loss + aux_weight * cross_entropy_ignore(aux, labels, ignore_label)
     return loss

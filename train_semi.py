@@ -227,9 +227,11 @@ def main():
                         state,
                         epoch + 1,
                         best_prec,
+                        save_memobank=cfg.saver.save_memobank,
                     )
                 save_checkpoint(
-                    osp.join(cfg.save_path, CKPT_NAME), state, epoch + 1, best_prec
+                    osp.join(cfg.save_path, CKPT_NAME), state, epoch + 1,
+                    best_prec, save_memobank=cfg.saver.save_memobank,
                 )
                 logger.info(
                     "\033[31m * Currently, the best val result is: {:.2f}\033[0m".format(

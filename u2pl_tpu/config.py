@@ -132,6 +132,10 @@ class SaverCfg:
     snapshot_dir: str = "checkpoints"
     auto_resume: bool = False
     pretrain: str = ""
+    # persist the memory bank in checkpoints (improvement over the
+    # reference, which restarts it cold on resume; disable to shrink
+    # checkpoints by queue_size*256*num_classes entries)
+    save_memobank: bool = True
 
 
 @dataclass(frozen=True)
@@ -327,6 +331,7 @@ def parse_config(raw: Dict[str, Any], exp_path: str = "") -> Config:
         snapshot_dir=saver.get("snapshot_dir", "checkpoints"),
         auto_resume=bool(saver.get("auto_resume", False)),
         pretrain=saver.get("pretrain", "") or "",
+        save_memobank=bool(saver.get("save_memobank", True)),
     )
 
     crit_kwargs = criterion.get("kwargs", {}) or {}

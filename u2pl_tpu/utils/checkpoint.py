@@ -32,7 +32,8 @@ def _np(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-def save_checkpoint(path: str, state: TrainState, epoch: int, best_miou: float):
+def save_checkpoint(path: str, state: TrainState, epoch: int, best_miou: float,
+                    save_memobank: bool = True):
     payload: Dict[str, Any] = {
         "epoch": epoch,
         "best_miou": float(best_miou),
@@ -49,7 +50,7 @@ def save_checkpoint(path: str, state: TrainState, epoch: int, best_miou: float):
                 "batch_stats": _np(state.teacher_batch_stats),
             }
         )
-    if state.bank is not None:
+    if state.bank is not None and save_memobank:
         payload["memobank"] = serialization.to_state_dict(_np(state.bank))
     if state.prototype is not None:
         payload["prototype"] = np.asarray(state.prototype)
@@ -61,6 +62,11 @@ def save_checkpoint(path: str, state: TrainState, epoch: int, best_miou: float):
 
 
 def restore_payload(path: str) -> Dict[str, Any]:
+    if not os.path.isfile(path):
+        raise FileNotFoundError(
+            f"no checkpoint at '{path}' — expected a .ckpt written by this "
+            f"framework or a reference torch .pth"
+        )
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
 
@@ -69,6 +75,8 @@ def load_model_variables(path: str, prefer_teacher: bool = True) -> Any:
     """Template-free {params, batch_stats} for eval/infer. Accepts this
     repo's .ckpt files and reference torch .pth files."""
     if path.endswith(".pth"):
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"no torch checkpoint at '{path}'")
         import torch
 
         ckpt = torch.load(path, map_location="cpu", weights_only=False)

@@ -378,3 +378,92 @@ def test_contrastive_enqueue_parity(ref):
             got_sorted = got_rows[np.lexsort(got_rows.T)]
             want_sorted = want_rows[np.lexsort(want_rows.T)]
             np.testing.assert_allclose(got_sorted, want_sorted, atol=1e-5)
+
+
+def test_contrastive_multichip_grad_matches_torch_semantics():
+    """Torch's in-place dist.all_reduce is autograd-invisible: each rank
+    backprops grad(local_loss / W) while the forward VALUE becomes the
+    cross-rank mean.  On a 2-device mesh the per-shard gradient must be
+    exactly (standalone local gradient) / W, and the value the mean of the
+    standalone local losses (a differentiable pmean would instead scale the
+    post-pmean effective gradient by W^2 — ADVICE.md round 1)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    rng = np.random.RandomState(7)
+    C, h, w, F = 4, 4, 4, 8
+    W = 2
+    cfg = _contra_cfg()
+    key = jax.random.PRNGKey(3)
+
+    # per-device shards; high mask empty so no enqueue -> bank identical
+    # between standalone and sharded runs
+    reps, rep_ts, labels_l, labels_u, probs_l, probs_u, lows = [], [], [], [], [], [], []
+    onehot = lambda lab: np.eye(C, dtype=np.float32)[lab]
+    for d in range(W):
+        reps.append(rng.randn(2, h, w, F).astype(np.float32))
+        rep_ts.append(rng.randn(2, h, w, F).astype(np.float32))
+        labels_l.append(onehot(rng.randint(0, C, (1, h, w))))
+        labels_u.append(onehot(rng.randint(0, C, (1, h, w))))
+        logits = rng.randn(2, h, w, C).astype(np.float32)
+        p = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+        probs_l.append(p[:1])
+        probs_u.append(p[1:])
+        lows.append((rng.rand(2, h, w, 1) > 0.4).astype(np.float32))
+    high = np.zeros((2, h, w, 1), np.float32)
+
+    bank_np = rng.randn(C, 8, F).astype(np.float32)
+
+    def make_bank():
+        b = init_memobank(C, F, dtype=jnp.float32)
+        keys = b.keys.at[:, :8].set(jnp.asarray(bank_np))
+        return MemoryBank(keys, b.ptr, b.occupancy + 8, b.sizes)
+
+    def local_loss(rep, ll, lu, pl, pu, lm, axis_name):
+        _, loss = compute_contra_memobank_loss(
+            rep, jnp.asarray(ll), jnp.asarray(lu), jnp.asarray(pl),
+            jnp.asarray(pu), jnp.asarray(lm), jnp.asarray(high), cfg,
+            make_bank(), jnp.asarray(rep_ts[0] * 0 + 1.0), key,
+            axis_name=axis_name,
+        )
+        return loss
+
+    # standalone per-device losses + grads (axis_name=None)
+    want_vals, want_grads = [], []
+    for d in range(W):
+        f = lambda r, dd=d: local_loss(
+            r, labels_l[dd], labels_u[dd], probs_l[dd], probs_u[dd], lows[dd], None
+        )
+        v, g = jax.value_and_grad(f)(jnp.asarray(reps[d]))
+        want_vals.append(float(v))
+        want_grads.append(np.asarray(g))
+
+    # sharded run over 2 devices
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:W]), ("data",))
+
+    def sharded_fn(rep, ll, lu, pl, pu, lm):
+        def f(r):
+            return local_loss(r, ll, lu, pl, pu, lm, "data")
+        return jax.value_and_grad(f)(rep)
+
+    stack = lambda xs: jnp.asarray(np.concatenate(xs, axis=0))
+    vg = jax.jit(
+        jax.shard_map(
+            sharded_fn,
+            mesh=mesh,
+            in_specs=(P("data"),) * 6,
+            out_specs=(P(), P("data")),
+            check_vma=False,
+        )
+    )
+    got_val, got_grad = vg(
+        stack(reps), stack(labels_l), stack(labels_u),
+        stack(probs_l), stack(probs_u), stack(lows),
+    )
+
+    assert abs(float(got_val) - np.mean(want_vals)) < 1e-5, (
+        float(got_val), want_vals)
+    got_grad = np.asarray(got_grad)
+    for d in range(W):
+        np.testing.assert_allclose(
+            got_grad[d * 2:(d + 1) * 2], want_grads[d] / W, rtol=1e-5, atol=1e-7
+        )

@@ -232,8 +232,18 @@ def compute_contra_memobank_loss(
     loss = jnp.where(valid_seg > 1, loss, 0.0)
 
     if axis_name is not None:
-        # reference all_reduce + /world_size (train_semi.py:514-519)
-        loss = jax.lax.pmean(loss, axis_name)
+        # reference all_reduce + /world_size (train_semi.py:514-519).  Torch's
+        # in-place dist.all_reduce is NOT autograd-tracked: the forward value
+        # becomes the cross-rank mean, but each rank backprops only
+        # grad(local_loss / W); DDP then averages grads, for an effective
+        # (1/W^2) * sum_i g_i.  A differentiable pmean here would instead
+        # backprop sum_i g_i (W^2 too large on multi-chip).  Reproduce the
+        # torch semantics with a straight-through correction: value = mean,
+        # gradient = d(local/W).
+        world = jax.lax.psum(jnp.ones(()), axis_name)
+        local_scaled = loss / world
+        mean = jax.lax.pmean(jax.lax.stop_gradient(loss), axis_name)
+        loss = local_scaled - jax.lax.stop_gradient(local_scaled) + mean
 
     if prototype is not None:
         return new_prototype, bank, loss

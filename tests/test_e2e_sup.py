@@ -47,7 +47,7 @@ def ws(tmp_path_factory):
                 "data_list": str(root / "splits" / "pascal" / "val.txt"),
                 "crop": {"type": "center", "size": [HW, HW]},
             },
-            "batch_size": 8,
+            "batch_size": 1,  # per-replica x 8 CPU devices -> global batch 8
             "n_sup": 8,
             "workers": 2,
             "mean": [123.675, 116.28, 103.53],

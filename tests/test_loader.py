@@ -41,15 +41,19 @@ def test_drop_last_and_batch_contents():
 
 
 def test_process_slicing_partitions_batch():
+    # batch_size is PER REPLICA (reference per-GPU convention): global batch
+    # = batch_size * replicas_per_process * process_count
     ds = _ArrayDataset(16)
     shards = []
     for pi in range(2):
         loader = EpochLoader(
-            ds, batch_size=8, seed=1, shuffle=True, drop_last=True,
-            process_index=pi, process_count=2,
+            ds, batch_size=2, seed=1, shuffle=True, drop_last=True,
+            process_index=pi, process_count=2, replicas_per_process=2,
         )
+        assert loader.global_batch == 8
+        assert len(loader) == 2
         shards.append([labs[:, 0, 0].tolist() for _, labs in loader.epoch(0)])
-    # per-batch: the two process slices are disjoint and union to the
+    # per-batch: the two process slices are disjoint 4-sample halves of the
     # global batch of 8
     for b0, b1 in zip(shards[0], shards[1]):
         assert len(b0) == len(b1) == 4

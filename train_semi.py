@@ -32,6 +32,7 @@ from u2pl_tpu.train.validate import validate
 from u2pl_tpu.utils.checkpoint import (
     CKPT_BEST_NAME,
     CKPT_NAME,
+    load_encoder_pretrained,
     maybe_resume,
     save_checkpoint,
 )
@@ -45,6 +46,13 @@ parser.add_argument("--config", type=str, default="config.yaml")
 parser.add_argument("--local_rank", type=int, default=0)  # launcher parity
 parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--port", default=None, type=int)  # launcher parity
+parser.add_argument(
+    "--profile_dir",
+    type=str,
+    default="",
+    help="capture a jax.profiler xplane trace of train steps 10-13 "
+    "(TPU-native replacement for the reference's absent profiler hooks)",
+)
 
 
 def main():
@@ -76,6 +84,7 @@ def main():
         seed=args.seed,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        replicas_per_process=jax.local_device_count(),
     )
     assert len(loader_sup) == len(loader_unsup), (
         f"labeled data {len(loader_sup)} unlabeled data {len(loader_unsup)}, "
@@ -119,6 +128,10 @@ def main():
         prototype=prototype,
     )
 
+    # ImageNet encoder warm start (reference resnet.py:380-402), before the
+    # auto_resume/pretrain precedence chain can overwrite it
+    state = load_encoder_pretrained(cfg.net.encoder, state)
+
     resumed, last_epoch, best_prec = maybe_resume(cfg.saver, cfg.save_path, state)
     if resumed is not None:
         state = resumed
@@ -140,12 +153,56 @@ def main():
 
         batch_end = time.time()
         pending = None  # (i_iter, metrics) fetched one step late
+
+        def flush_pending(pending):
+            """Fetch + log the one-step-late metrics (async dispatch keeps
+            the device busy while the host reads the previous step)."""
+            if pending is None or not rank0:
+                return
+            pi, pm = pending
+            pm = jax.device_get(pm)
+            sup_losses.update(float(pm["sup_loss"]))
+            uns_losses.update(float(pm["uns_loss"]))
+            con_losses.update(float(pm["con_loss"]))
+            if pi % 10 == 0:
+                logger.info(
+                    "[{}][{}] Iter [{}/{}]\t"
+                    "Data {:.2f} ({:.2f})\tTime {:.2f} ({:.2f})\t"
+                    "Sup {:.3f} ({:.3f})\tUns {:.3f} ({:.3f})\t"
+                    "Con {:.3f} ({:.3f})\tLR {:.5f}".format(
+                        cfg.dataset.n_sup,
+                        "none" if warmup else f"{contra.low_rank}:{contra.high_rank} high"
+                        if contra
+                        else "none",
+                        pi,
+                        cfg.trainer.epochs * steps_per_epoch,
+                        data_times.val,
+                        data_times.avg,
+                        batch_times.val,
+                        batch_times.avg,
+                        sup_losses.val,
+                        sup_losses.avg,
+                        uns_losses.val,
+                        uns_losses.avg,
+                        con_losses.val,
+                        con_losses.avg,
+                        float(pm["lr"]),
+                    )
+                )
+                tb.add_scalar("lr", float(pm["lr"]), pi)
+                tb.add_scalar("Sup Loss", sup_losses.val, pi)
+                tb.add_scalar("Uns Loss", uns_losses.val, pi)
+                tb.add_scalar("Con Loss", con_losses.val, pi)
+
         for step, ((img_l, lab_l), (img_u, _)) in enumerate(
             zip(loader_sup.epoch(epoch), loader_unsup.epoch(epoch))
         ):
             batch_start = time.time()
             data_times.update(batch_start - batch_end)
             i_iter = epoch * steps_per_epoch + step
+
+            if args.profile_dir and i_iter == 10:
+                jax.profiler.start_trace(args.profile_dir)
 
             if epoch == sup_only_epoch:
                 # per-step student->teacher copy during the first semi
@@ -161,45 +218,21 @@ def main():
                 step_rng,
             )
 
-            if pending is not None and rank0:
-                pi, pm = pending
-                pm = jax.device_get(pm)
-                sup_losses.update(float(pm["sup_loss"]))
-                uns_losses.update(float(pm["uns_loss"]))
-                con_losses.update(float(pm["con_loss"]))
-                if pi % 10 == 0:
-                    logger.info(
-                        "[{}][{}] Iter [{}/{}]\t"
-                        "Data {:.2f} ({:.2f})\tTime {:.2f} ({:.2f})\t"
-                        "Sup {:.3f} ({:.3f})\tUns {:.3f} ({:.3f})\t"
-                        "Con {:.3f} ({:.3f})\tLR {:.5f}".format(
-                            cfg.dataset.n_sup,
-                            "none" if warmup else f"{contra.low_rank}:{contra.high_rank} high"
-                            if contra
-                            else "none",
-                            pi,
-                            cfg.trainer.epochs * steps_per_epoch,
-                            data_times.val,
-                            data_times.avg,
-                            batch_times.val,
-                            batch_times.avg,
-                            sup_losses.val,
-                            sup_losses.avg,
-                            uns_losses.val,
-                            uns_losses.avg,
-                            con_losses.val,
-                            con_losses.avg,
-                            float(pm["lr"]),
-                        )
-                    )
-                    tb.add_scalar("lr", float(pm["lr"]), pi)
-                    tb.add_scalar("Sup Loss", sup_losses.val, pi)
-                    tb.add_scalar("Uns Loss", uns_losses.val, pi)
-                    tb.add_scalar("Con Loss", con_losses.val, pi)
+            flush_pending(pending)
             pending = (i_iter, metrics)
+
+            if args.profile_dir and i_iter == 13:
+                # sync on a late output so the traced steps are complete
+                jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
+                jax.profiler.stop_trace()
+                if rank0:
+                    logger.info(f"profiler trace written to {args.profile_dir}")
 
             batch_end = time.time()
             batch_times.update(batch_end - batch_start)
+
+        # the final step's metrics would otherwise be dropped at epoch end
+        flush_pending(pending)
 
         if cfg.trainer.eval_on:
             if rank0:

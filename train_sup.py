@@ -27,6 +27,7 @@ from u2pl_tpu.train.validate import validate
 from u2pl_tpu.utils.checkpoint import (
     CKPT_BEST_NAME,
     CKPT_NAME,
+    load_encoder_pretrained,
     maybe_resume,
     save_checkpoint,
 )
@@ -68,6 +69,7 @@ def main():
         seed=args.seed,
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        replicas_per_process=jax.local_device_count(),
     )
     steps_per_epoch = len(loader_sup)
     crop = cfg.dataset.train.crop.size if cfg.dataset.train.crop else (513, 513)
@@ -84,6 +86,9 @@ def main():
         model, tx, jax.random.PRNGKey(args.seed), (1, crop[0], crop[1], 3),
         with_teacher=False,
     )
+    # ImageNet encoder warm start (reference resnet.py:380-402)
+    state = load_encoder_pretrained(cfg.net.encoder, state)
+
     resumed, last_epoch, best_prec = maybe_resume(cfg.saver, cfg.save_path, state)
     if resumed is not None:
         state = resumed

@@ -66,9 +66,11 @@ class EpochLoader:
     """Iterates batches for one epoch with background prefetch.
 
     drop_last semantics match the reference train loaders
-    (pascal_voc.py:136-156).  `process_shard` slices the global batch for
-    multi-host runs: every host feeds its slice, the mesh assembles the
-    global array.
+    (pascal_voc.py:136-156).  `batch_size` is PER DATA-PARALLEL REPLICA,
+    exactly like the reference's per-GPU DataLoader batch size: the global
+    batch is ``batch_size * replicas_per_process * process_count`` and each
+    host yields its ``batch_size * replicas_per_process`` slice; per-device
+    sharding happens inside the jitted step via shard_map.
     """
 
     def __init__(
@@ -82,6 +84,7 @@ class EpochLoader:
         prefetch: int = 2,
         process_index: int = 0,
         process_count: int = 1,
+        replicas_per_process: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -92,21 +95,27 @@ class EpochLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        self.replicas_per_process = replicas_per_process
+        self.global_batch = batch_size * replicas_per_process * process_count
 
     def __len__(self):
         n = len(self.dataset)
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        gb = self.global_batch
+        return n // gb if self.drop_last else -(-n // gb)
 
     def epoch(self, epoch: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         idx = epoch_indices(len(self.dataset), epoch, self.seed, self.shuffle)
         nb = len(self)
-        batches = [
-            idx[i * self.batch_size : (i + 1) * self.batch_size] for i in range(nb)
-        ]
+        gb = self.global_batch
+        batches = [idx[i * gb : (i + 1) * gb] for i in range(nb)]
         if self.process_count > 1:
-            per = self.batch_size // self.process_count
+            per = self.batch_size * self.replicas_per_process
             lo = self.process_index * per
+            # a ragged final batch (drop_last=False) can leave later
+            # processes with an empty slice — skip those
             batches = [b[lo : lo + per] for b in batches]
+            batches = [b for b in batches if len(b)]
+        nb = len(batches)
 
         ex = futures.ThreadPoolExecutor(max_workers=self.workers)
         pending: "queue_mod.Queue" = queue_mod.Queue()
@@ -115,11 +124,14 @@ class EpochLoader:
             # decode/augment sequentially within this worker thread;
             # parallelism comes from `workers` concurrent batch assemblies
             # (nesting pool tasks inside pool tasks deadlocks when all
-            # workers hold assemble jobs)
+            # workers hold assemble jobs).  Samples are (img, label) pairs
+            # normally; cutout/cutmix transforms yield the reference Compose
+            # 5-tuple / mask-triple protocol (augmentation.py:31-47), so
+            # stack every component.
             samples = [self.dataset[i] for i in b]
-            imgs = np.stack([s[0] for s in samples])
-            labs = np.stack([s[1] for s in samples])
-            return imgs, labs
+            return tuple(
+                np.stack([s[k] for s in samples]) for k in range(len(samples[0]))
+            )
 
         try:
             depth = min(self.prefetch, nb)
@@ -135,13 +147,16 @@ class EpochLoader:
 
 
 def build_loaders(cfg: Config, seed: int = 0, process_index: int = 0,
-                  process_count: int = 1):
+                  process_count: int = 1, replicas_per_process: int = 1):
     """get_loader parity (dataset/builder.py:9-43): returns
     (sup, unsup, val) for *_semi dataset types, else (sup, val).
 
     The unlabeled list is the labeled list with "labeled.txt" ->
     "unlabeled.txt" (pascal_voc.py:131); the unlabeled n_sup is
-    pool - n_sup so both loaders have equal length (pascal_voc.py:109)."""
+    pool - n_sup so both loaders have equal length (pascal_voc.py:109).
+    `dataset.batch_size` is per data-parallel replica (the reference's
+    per-GPU convention); pass replicas_per_process=jax.local_device_count()
+    so each host feeds one slice per local device."""
     d = cfg.dataset
     u8 = d.device_normalize
     mk = lambda split_cfg, u8=u8: build_transform(
@@ -151,6 +166,7 @@ def build_loaders(cfg: Config, seed: int = 0, process_index: int = 0,
         workers=d.workers,
         process_index=process_index,
         process_count=process_count,
+        replicas_per_process=replicas_per_process,
     )
 
     val_ds = SegDataset(d.val.data_root, d.val.data_list, mk(d.val), seed, None, "val")

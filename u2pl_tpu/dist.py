@@ -25,10 +25,35 @@ log = logging.getLogger("global")
 
 
 def initialize_distributed() -> None:
-    """Multi-host init (no-op single-process). Mirrors the role of the
-    reference setup_distributed (dist_helper.py:13-46)."""
+    """Multi-host init (no-op single-process). Mirrors the reference
+    setup_distributed (dist_helper.py:13-46), which auto-detects SLURM /
+    torchrun env vars: we auto-detect a multi-process launch the same way
+    (SLURM, OpenMPI, or an explicit JAX coordinator) and fall back to a
+    single-process no-op. U2PL_TPU_MULTIHOST=1 still forces init."""
     if int(os.environ.get("U2PL_TPU_MULTIHOST", "0")):
         jax.distributed.initialize()
+        return
+    ntasks = int(os.environ.get("SLURM_NTASKS") or 1)
+    ompi = int(os.environ.get("OMPI_COMM_WORLD_SIZE") or 1)
+    if (
+        ntasks > 1
+        or ompi > 1
+        or "JAX_COORDINATOR_ADDRESS" in os.environ
+        or "COORDINATOR_ADDRESS" in os.environ
+    ):
+        jax.distributed.initialize()
+
+
+def all_sum_across_processes(x: np.ndarray) -> np.ndarray:
+    """Sum a small host array across processes (reference all_reduce of the
+    val intersection/union vectors, train_semi.py:639-641). Identity for
+    single-process runs."""
+    if jax.process_count() == 1:
+        return x
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(np.asarray(x))
+    return np.asarray(gathered).sum(axis=0).astype(x.dtype)
 
 
 def make_mesh(num_devices: Optional[int] = None) -> Mesh:

@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from u2pl_tpu.config import Config
+from u2pl_tpu.dist import all_sum_across_processes
 from u2pl_tpu.evallib.metrics import intersection_and_union_device
 from u2pl_tpu.ops.resize import resize_bilinear
 
@@ -40,6 +41,20 @@ def make_val_step(model, num_classes: int, ignore_label: int,
     return val_step
 
 
+def accumulate_val_sums(val_step, variables, val_loader, epoch, num_classes):
+    """Per-process intersection/union accumulation over the loader's slice
+    of the val set (pre cross-process reduction)."""
+    inter_sum = np.zeros(num_classes, np.int64)
+    union_sum = np.zeros(num_classes, np.int64)
+    for images, labels in val_loader.epoch(epoch):
+        inter, union, _ = val_step(
+            variables, jnp.asarray(images), jnp.asarray(labels)
+        )
+        inter_sum += np.asarray(inter, np.int64)
+        union_sum += np.asarray(union, np.int64)
+    return inter_sum, union_sum
+
+
 def validate(
     model,
     params,
@@ -54,14 +69,13 @@ def validate(
         cfg.dataset.mean, cfg.dataset.std,
     )
     variables = {"params": params, "batch_stats": batch_stats}
-    inter_sum = np.zeros(cfg.net.num_classes, np.int64)
-    union_sum = np.zeros(cfg.net.num_classes, np.int64)
-    for images, labels in val_loader.epoch(epoch):
-        inter, union, _ = val_step(
-            variables, jnp.asarray(images), jnp.asarray(labels)
-        )
-        inter_sum += np.asarray(inter, np.int64)
-        union_sum += np.asarray(union, np.int64)
+    inter_sum, union_sum = accumulate_val_sums(
+        val_step, variables, val_loader, epoch, cfg.net.num_classes
+    )
+    # reference all_reduces inter/union across ranks (train_semi.py:639-641):
+    # each process only saw its slice of every val batch
+    inter_sum = all_sum_across_processes(inter_sum)
+    union_sum = all_sum_across_processes(union_sum)
     iou_class = inter_sum / (union_sum + 1e-10)
     miou = float(np.mean(iou_class))
     if logger is not None:

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import os
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple, Union
 
 import yaml
 
@@ -22,6 +22,22 @@ import yaml
 class CropCfg:
     type: str = "rand"  # "rand" | "center"
     size: Tuple[int, int] = (513, 513)
+
+
+@dataclass(frozen=True)
+class CutoutCfg:
+    """Host-pipeline cutout (reference cityscapes.py:70-72)."""
+
+    n_holes: int = 3
+    length: int = 32
+
+
+@dataclass(frozen=True)
+class CutmixCfg:
+    """Host-pipeline cutmix mask generator (reference cityscapes.py:73-75)."""
+
+    n_holes: int = 1
+    prop_range: Tuple[float, float] = (0.25, 0.5)
 
 
 @dataclass(frozen=True)
@@ -36,6 +52,12 @@ class SplitCfg:
     rand_rotation: Optional[Tuple[float, float]] = None
     resize: Optional[Tuple[int, int]] = None
     crop: Optional[CropCfg] = None
+    # cutout/cutmix config entries exist only in the CITYSCAPES transform
+    # builder (reference cityscapes.py:70-78; the pascal builder has no such
+    # keys) and make the transform return the reference Compose 5-tuple /
+    # mask-triple protocol (augmentation.py:31-47) for AEL-style consumers
+    cutout: Optional[CutoutCfg] = None
+    cutmix: Optional[CutmixCfg] = None
 
 
 @dataclass(frozen=True)
@@ -159,7 +181,9 @@ class EncoderCfg:
     zero_init_residual: bool = False
     fpn: bool = False
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
-    pretrained: bool = True
+    # True -> load from models.resnet.model_urls[arch]; a string is an
+    # explicit .pth path; False/None disables (reference resnet.py:380-402)
+    pretrained: Union[bool, str] = True
     # TPU-native addition: rematerialize residual blocks in the backward
     # pass (jax.checkpoint) to trade FLOPs for HBM when scaling batch/crop.
     remat: bool = False
@@ -215,6 +239,20 @@ def _crop(d: Optional[Dict[str, Any]]) -> Optional[CropCfg]:
 def _split(dset: Dict[str, Any], split: str) -> SplitCfg:
     d = dict(dset)
     d.update(dset.get(split, {}) or {})
+    # cutout/cutmix keys are honored only by the cityscapes builder
+    # (reference cityscapes.py:70-78 vs pascal_voc.py:48-71)
+    is_city = str(dset.get("type", "")).startswith("cityscapes")
+    cutout = cutmix = None
+    if is_city and d.get("cutout"):
+        c = d["cutout"]
+        cutout = CutoutCfg(n_holes=int(c["n_holes"]), length=int(c["length"]))
+    if is_city and d.get("cutmix"):
+        c = d["cutmix"]
+        pr = c["prop_range"]
+        cutmix = CutmixCfg(
+            n_holes=int(c.get("n_holes", 1)),
+            prop_range=(pr, pr) if isinstance(pr, (int, float)) else tuple(pr),
+        )
     return SplitCfg(
         data_root=d.get("data_root", ""),
         data_list=d.get("data_list", ""),
@@ -224,6 +262,8 @@ def _split(dset: Dict[str, Any], split: str) -> SplitCfg:
         rand_rotation=_tup(d.get("rand_rotation")) if d.get("rand_rotation") else None,
         resize=_tup(d.get("resize")) if d.get("resize") else None,
         crop=_crop(d.get("crop")),
+        cutout=cutout,
+        cutmix=cutmix,
     )
 
 
@@ -362,7 +402,7 @@ def parse_config(raw: Dict[str, Any], exp_path: str = "") -> Config:
         replace_stride_with_dilation=tuple(
             enc_kwargs.get("replace_stride_with_dilation", (False, False, False))
         ),
-        pretrained=bool(enc_kwargs.get("pretrained", True)),
+        pretrained=enc_kwargs.get("pretrained", True),
         remat=bool(enc_kwargs.get("remat", False)),
     )
 

@@ -28,6 +28,18 @@ from u2pl_tpu.ops.pooling import max_pool_ceil
 
 conv_kaiming = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
+# Local paths to ImageNet-pretrained deep-stem torch checkpoints, exactly
+# like the reference's user-edited model_urls dict (reference
+# resnet.py:16-22).  Used when `encoder.pretrained: true`; a string value
+# of `encoder.pretrained` overrides the lookup with an explicit path.
+model_urls = {
+    "resnet18": "/path/to/resnet18.pth",
+    "resnet34": "/path/to/resnet34.pth",
+    "resnet50": "/path/to/resnet50.pth",
+    "resnet101": "/path/to/resnet101.pth",
+    "resnet152": "/path/to/resnet152.pth",
+}
+
 
 def make_norm(
     axis_name: Optional[str],
@@ -51,7 +63,13 @@ def make_norm(
 
 
 class Conv(nn.Module):
-    """3x3/1x1 conv with torch-style explicit padding."""
+    """3x3/1x1 conv with torch-style explicit padding.
+
+    `mask` (shape-bucketed eval): multiplying a 3x3 conv's input by the
+    valid-region mask makes explicit zero padding beyond the valid extent
+    indistinguishable from the conv's own SAME zero padding, which is what
+    makes padded-bucket forwards bit-match unpadded ones.  1x1 convs mix
+    nothing spatially, so they never need it."""
 
     features: int
     kernel: int = 3
@@ -61,7 +79,9 @@ class Conv(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
+        if mask is not None and self.kernel == 3:
+            x = x * mask
         pad = self.dilation if self.kernel == 3 else 0
         return nn.Conv(
             self.features,
@@ -76,6 +96,25 @@ class Conv(nn.Module):
         )(x)
 
 
+def valid_feature_sizes(v0):
+    """Valid spatial extent per output stride for a bucket-padded input with
+    true size v0 (int or traced scalar): os2 after the stride-2 stem conv
+    (k3 s2 p1), os4 after the ceil-mode 3x3/2 maxpool, os8 after layer2's
+    stride-2.  Matches torch's size arithmetic for the deep-stem ResNet
+    (reference resnet.py:178-191, 232-277)."""
+    v1 = (v0 + 1) // 2  # stem conv1
+    v2 = v1 // 2 + 1  # ceil-mode maxpool: ceil((v1-1)/2)+1
+    v3 = (v2 + 1) // 2  # layer2 stride 2 (os8)
+    return v1, v2, v3
+
+
+def valid_mask(h: int, w: int, vh, vw, dtype) -> jnp.ndarray:
+    """(1, h, w, 1) mask: 1 inside the top-left (vh, vw) valid region."""
+    mh = jnp.arange(h) < vh
+    mw = jnp.arange(w) < vw
+    return (mh[:, None] & mw[None, :]).astype(dtype)[None, :, :, None]
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -88,13 +127,15 @@ class BasicBlock(nn.Module):
     expansion = 1
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, mask_in=None, mask_out=None):
         ra = not train
         identity = x
-        out = Conv(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(x)
+        out = Conv(self.planes, 3, self.stride, dtype=self.dtype, name="conv1")(
+            x, mask_in
+        )
         out = self.norm(use_running_average=ra, name="bn1")(out)
         out = nn.relu(out)
-        out = Conv(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out)
+        out = Conv(self.planes, 3, 1, dtype=self.dtype, name="conv2")(out, mask_out)
         bn2 = self.norm(
             use_running_average=ra,
             scale_init=nn.initializers.zeros
@@ -123,7 +164,7 @@ class Bottleneck(nn.Module):
     expansion = 4
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, mask_in=None, mask_out=None):
         ra = not train
         identity = x
         out = Conv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
@@ -131,7 +172,7 @@ class Bottleneck(nn.Module):
         out = nn.relu(out)
         out = Conv(
             self.planes, 3, self.stride, self.dilation, dtype=self.dtype, name="conv2"
-        )(out)
+        )(out, mask_in)
         out = self.norm(use_running_average=ra, name="bn2")(out)
         out = nn.relu(out)
         out = Conv(self.planes * 4, 1, dtype=self.dtype, name="conv3")(out)
@@ -185,22 +226,49 @@ class ResNet(nn.Module):
         return 256 * self.raw_block_cls.expansion
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None):
+        """valid_hw: optional (vh, vw) traced scalars for shape-bucketed
+        eval — `x` is zero-padded beyond the valid top-left region and every
+        3x3 conv input is re-masked so the forward bit-matches the unpadded
+        one (see Conv).  Returned features are masked to their valid
+        extents."""
         norm = make_norm(self.axis_name, dtype=self.dtype)
         ra = not train
         block_cls = self.block_cls
         expansion = self.raw_block_cls.expansion
 
-        # deep stem (reference resnet.py:178-191)
+        masks = {}  # output-stride -> (1, h, w, 1) valid mask
+        if valid_hw is not None:
+            v0h, v0w = valid_hw
+            v1h, v2h, v3h = valid_feature_sizes(v0h)
+            v1w, v2w, v3w = valid_feature_sizes(v0w)
+            h0, w0 = x.shape[1], x.shape[2]
+            dims = lambda s: ((h0 + s - 1) // s, (w0 + s - 1) // s)
+            # bucket grid sizes follow the same arithmetic as the valid ones
+            h1, w1 = valid_feature_sizes(h0)[0], valid_feature_sizes(w0)[0]
+            h2, w2 = valid_feature_sizes(h0)[1], valid_feature_sizes(w0)[1]
+            h3, w3 = valid_feature_sizes(h0)[2], valid_feature_sizes(w0)[2]
+            masks[2] = valid_mask(h1, w1, v1h, v1w, self.dtype)
+            masks[4] = valid_mask(h2, w2, v2h, v2w, self.dtype)
+            masks[8] = valid_mask(h3, w3, v3h, v3w, self.dtype)
+
+        m = masks.get
+
+        # deep stem (reference resnet.py:178-191); the input itself is
+        # already zero beyond valid (padded), so stem_conv1 needs no mask
         x = Conv(64, 3, 2, dtype=self.dtype, name="stem_conv1")(x)
         x = norm(use_running_average=ra, name="stem_bn1")(x)
         x = nn.relu(x)
-        x = Conv(64, 3, 1, dtype=self.dtype, name="stem_conv2")(x)
+        x = Conv(64, 3, 1, dtype=self.dtype, name="stem_conv2")(x, m(2))
         x = norm(use_running_average=ra, name="stem_bn2")(x)
         x = nn.relu(x)
-        x = Conv(128, 3, 1, dtype=self.dtype, name="stem_conv3")(x)
+        x = Conv(128, 3, 1, dtype=self.dtype, name="stem_conv3")(x, m(2))
         x = norm(use_running_average=ra, name="bn1")(x)
         x = nn.relu(x)
+        if m(2) is not None:
+            # maxpool windows straddling the valid edge must see zeros (the
+            # unpadded net's ceil-mode padding; inputs are post-ReLU >= 0)
+            x = x * m(2)
         x = max_pool_ceil(x, kernel=3, stride=2, pad=1)
 
         # stage plan replicating reference _make_layer dilation bookkeeping
@@ -210,6 +278,7 @@ class ResNet(nn.Module):
         feats = []
         stage_planes = (64, 128, 256, 512)
         stage_strides = (1, 2, 2, 2)
+        os_now = 4
         for si in range(4):
             planes, blocks = stage_planes[si], self.layers[si]
             stride = stage_strides[si]
@@ -223,9 +292,13 @@ class ResNet(nn.Module):
                 grids = [2, 2, 4]
             for bi in range(blocks):
                 first = bi == 0
+                blk_stride = stride if first else 1
+                mask_in = m(os_now)
+                if blk_stride != 1:
+                    os_now *= blk_stride
                 x = block_cls(
                     planes=planes,
-                    stride=stride if first else 1,
+                    stride=blk_stride,
                     dilation=(previous_dilation if first else dilation) * grids[bi],
                     has_downsample=first
                     and (stride != 1 or inplanes != planes * expansion),
@@ -233,11 +306,18 @@ class ResNet(nn.Module):
                     norm=norm,
                     dtype=self.dtype,
                     name=f"layer{si + 1}_{bi}",
-                )(x, train)
+                )(x, train, mask_in, m(os_now))
             inplanes = planes * expansion
             feats.append(x)
 
         x1, x2, x3, x4 = feats
+        if masks:
+            # consumers (ASPP pooling, decoder 1x1s) need clean zeros in the
+            # invalid region, not the junk accumulated through BN shifts
+            x1 = x1 * masks[4]
+            x2 = x2 * masks[min(8, max(masks))]
+            x3 = x3 * masks[8]
+            x4 = x4 * masks[8]
         if self.fpn:
             return [x1, x2, x3, x4]
         return [x3, x4]

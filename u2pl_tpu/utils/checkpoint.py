@@ -133,13 +133,129 @@ def load_checkpoint(
     return state, int(payload["epoch"]), float(payload["best_miou"])
 
 
+def load_pretrain_weights(path: str, state_template: TrainState) -> TrainState:
+    """Weights-only warm start (reference pretrain semantics,
+    train_semi.py:153-154 + utils.py:583-636): load student model_state and
+    teacher_state but NOT the optimizer state or step counter — the
+    epoch-derived annealing (drop_percent, alpha_t, poly LR) must restart
+    from 0.  Accepts this repo's msgpack `.ckpt` and reference torch `.pth`
+    checkpoints (converted tolerantly: size-mismatched keys dropped)."""
+    if path.endswith(".pth"):
+        import torch
+
+        from u2pl_tpu.utils.convert_torch import torch_to_flax
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        tmpl = {
+            "params": _np(state_template.params),
+            "batch_stats": _np(state_template.batch_stats),
+        }
+        sv = torch_to_flax(ckpt["model_state"], tmpl, tolerant=True)
+        state = state_template.replace(
+            params=sv["params"], batch_stats=sv["batch_stats"]
+        )
+        if "teacher_state" in ckpt and state_template.teacher_params is not None:
+            tmpl_t = {
+                "params": _np(state_template.teacher_params),
+                "batch_stats": _np(state_template.teacher_batch_stats),
+            }
+            tv = torch_to_flax(ckpt["teacher_state"], tmpl_t, tolerant=True)
+            state = state.replace(
+                teacher_params=tv["params"], teacher_batch_stats=tv["batch_stats"]
+            )
+        return state
+
+    payload = restore_payload(path)
+    ms = payload["model_state"]
+    state = state_template.replace(
+        params=serialization.from_state_dict(state_template.params, ms["params"]),
+        batch_stats=serialization.from_state_dict(
+            state_template.batch_stats, ms["batch_stats"]
+        ),
+    )
+    if "teacher_state" in payload and state_template.teacher_params is not None:
+        ts = payload["teacher_state"]
+        state = state.replace(
+            teacher_params=serialization.from_state_dict(
+                state_template.teacher_params, ts["params"]
+            ),
+            teacher_batch_stats=serialization.from_state_dict(
+                state_template.teacher_batch_stats, ts["batch_stats"]
+            ),
+        )
+    return state
+
+
+def resolve_pretrained_path(enc_cfg) -> Optional[str]:
+    """encoder.pretrained -> .pth path or None.  True looks the arch up in
+    models.resnet.model_urls (the reference's user-edited dict,
+    resnet.py:16-22); a string is an explicit path."""
+    p = getattr(enc_cfg, "pretrained", False)
+    if not p:
+        return None
+    if isinstance(p, str):
+        return p
+    from u2pl_tpu.models.resnet import model_urls
+
+    arch = enc_cfg.type.rsplit(".", 1)[-1]
+    return model_urls.get(arch)
+
+
+def load_encoder_pretrained(enc_cfg, state: TrainState) -> TrainState:
+    """ImageNet warm start of the ResNet encoder (reference
+    resnet.py:380-402 strict=False load inside the model builders), applied
+    to BOTH student and teacher — the reference constructs each via
+    ModelBuilder with pretrained=True (train_semi.py:81, :123).  Missing
+    file logs a warning and returns the state unchanged (this environment
+    ships no weights); missing/unexpected keys are reported like the
+    reference printout."""
+    path = resolve_pretrained_path(enc_cfg)
+    if path is None:
+        return state
+    if not os.path.isfile(path):
+        log.warning(
+            f"encoder.pretrained: no ImageNet checkpoint at '{path}' — "
+            "training from random init (published mIoU baselines need it; "
+            "edit u2pl_tpu/models/resnet.py model_urls or set "
+            "encoder.pretrained to a path)"
+        )
+        return state
+    import torch
+
+    from u2pl_tpu.utils.convert_torch import torch_encoder_to_flax
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    variables = {"params": _np(state.params), "batch_stats": _np(state.batch_stats)}
+    new_vars, missing, unexpected = torch_encoder_to_flax(sd, variables)
+    log.info(
+        f"[Info] Load ImageNet pretrain from '{path}' "
+        f"\nmissing_keys: {missing} \nunexpected_keys: {unexpected}"
+    )
+    state = state.replace(
+        params=new_vars["params"], batch_stats=new_vars["batch_stats"]
+    )
+    if state.teacher_params is not None:
+        tvars = {
+            "params": _np(state.teacher_params),
+            "batch_stats": _np(state.teacher_batch_stats),
+        }
+        tv, _, _ = torch_encoder_to_flax(sd, tvars)
+        state = state.replace(
+            teacher_params=tv["params"], teacher_batch_stats=tv["batch_stats"]
+        )
+    return state
+
+
 def maybe_resume(
     cfg_saver,
     save_path: str,
     state_template: TrainState,
 ) -> Tuple[Optional[TrainState], int, float]:
     """auto_resume > pretrain (reference train_semi.py:138-154). Returns
-    (state or None, last_epoch, best_miou)."""
+    (state or None, last_epoch, best_miou).  pretrain loads weights only
+    (student + teacher), never the optimizer state or step counter."""
     if cfg_saver.auto_resume:
         latest = os.path.join(save_path, CKPT_NAME)
         if os.path.exists(latest):
@@ -148,7 +264,7 @@ def maybe_resume(
         log.info(f"No checkpoint found in '{latest}'")
     elif cfg_saver.pretrain:
         if os.path.exists(cfg_saver.pretrain):
-            state, _, _ = load_checkpoint(cfg_saver.pretrain, state_template)
-            return state, 0, 0.0
+            log.info(f"Load pretrain weights from: '{cfg_saver.pretrain}'")
+            return load_pretrain_weights(cfg_saver.pretrain, state_template), 0, 0.0
         log.info(f"No pretrain checkpoint at '{cfg_saver.pretrain}'")
     return None, 0, 0.0

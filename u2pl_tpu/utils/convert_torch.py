@@ -115,17 +115,24 @@ def _to_np(t: Any) -> np.ndarray:
 
 
 def torch_to_flax(
-    state_dict: Mapping[str, Any], variables: Mapping[str, Any]
+    state_dict: Mapping[str, Any],
+    variables: Mapping[str, Any],
+    tolerant: bool = False,
 ) -> Dict[str, Any]:
     """Fill a Flax {params, batch_stats} tree with reference torch weights.
 
     `variables` is the output of model.init (provides structure/shapes);
-    returns a new tree of numpy arrays.  Raises on missing keys or shape
-    mismatches — unlike the reference load_state, nothing is silently
-    dropped (utils.py:595-613 drops mismatched keys with a warning).
+    returns a new tree of numpy arrays.  By default raises on missing keys
+    or shape mismatches.  `tolerant=True` mirrors the reference load_state
+    (utils.py:595-613): size-mismatched or missing keys are dropped with a
+    warning and keep their init values — used for class-count transfer
+    (e.g. a VOC-21 head checkpoint warm-starting a 19-class model).
     """
+    import logging
+
     import jax
 
+    log = logging.getLogger("global")
     sd = strip_module_prefix(dict(state_dict))
     flat = jax.tree_util.tree_flatten_with_path(variables)[0]
     out = {}
@@ -136,11 +143,23 @@ def torch_to_flax(
         coll, subpath = path[0], path[1:]
         tkey = _translate(subpath)
         if tkey not in sd:
+            if tolerant:
+                log.warning(f"caution: missing keys from checkpoint: {tkey}")
+                out[path] = np.asarray(val)
+                continue
             raise KeyError(f"torch checkpoint missing {tkey} (for flax {path})")
         arr = _to_np(sd[tkey]).astype(np.float32)
         if subpath[-1] == "kernel" and arr.ndim == 4:
             arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
         if arr.shape != val.shape:
+            if tolerant:
+                log.warning(
+                    "caution: size-mismatch key: {} size: {} -> {}".format(
+                        tkey, arr.shape, val.shape
+                    )
+                )
+                out[path] = np.asarray(val)
+                continue
             raise ValueError(
                 f"shape mismatch for {tkey}: torch {arr.shape} vs flax "
                 f"{val.shape} at {path}"
@@ -153,3 +172,61 @@ def torch_to_flax(
         return out[prefix]
 
     return rebuild(variables)
+
+
+def torch_encoder_to_flax(
+    state_dict: Mapping[str, Any], variables: Mapping[str, Any]
+) -> Tuple[Dict[str, Any], list, list]:
+    """Load an ImageNet-pretrained deep-stem ResNet `.pth` state dict into
+    the ENCODER subtree of a full-model Flax variables tree.
+
+    The torch layout is the reference's `model_urls` checkpoint format
+    (reference u2pl/models/resnet.py:16-22, loaded with strict=False at
+    :380-402): keys `conv1.{0,1,3,4,6}.*` (deep stem), `bn1.*`,
+    `layer{1..4}.{blk}.{conv,bn}{1,2,3}.*`, `downsample.{0,1}.*`, plus
+    `fc.*` which the segmentation encoder discards.  strict=False
+    semantics: flax leaves with no torch key keep their init values
+    (missing), torch keys with no flax home are ignored (unexpected).
+
+    Returns (new_variables, missing_keys, unexpected_keys).
+    """
+    import jax
+
+    sd = strip_module_prefix(dict(state_dict))
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    out = {}
+    missing, used = [], set()
+    for keypath, val in flat:
+        path = tuple(k.key if hasattr(k, "key") else str(k) for k in keypath)
+        subpath = path[1:]
+        if not subpath or subpath[0] != "encoder":
+            out[path] = np.asarray(val)
+            continue
+        tkey = _translate(subpath)
+        assert tkey.startswith("encoder.")
+        tkey = tkey[len("encoder.") :]
+        if tkey not in sd:
+            missing.append(tkey)
+            out[path] = np.asarray(val)
+            continue
+        arr = _to_np(sd[tkey]).astype(np.float32)
+        if subpath[-1] == "kernel" and arr.ndim == 4:
+            arr = arr.transpose(2, 3, 1, 0)  # OIHW -> HWIO
+        if arr.shape != val.shape:
+            raise ValueError(
+                f"shape mismatch for pretrained encoder key {tkey}: "
+                f"torch {arr.shape} vs flax {val.shape}"
+            )
+        out[path] = arr
+        used.add(tkey)
+
+    unexpected = [
+        k for k in sd if k not in used and not k.endswith("num_batches_tracked")
+    ]
+
+    def rebuild(tree, prefix=()):
+        if isinstance(tree, Mapping):
+            return {k: rebuild(v, prefix + (k,)) for k, v in tree.items()}
+        return out[prefix]
+
+    return rebuild(variables), missing, unexpected

@@ -143,6 +143,17 @@ class RandomHorizontalFlip:
         return img, label
 
 
+class RandomVerticalFlip:
+    """augmentation.py:307-312.  Present for parity: the reference defines
+    it but never wires it into either transform builder, so no config key
+    reaches it there or here."""
+
+    def __call__(self, img, label):
+        if random.random() < 0.5:
+            return img[::-1].copy(), label[::-1].copy()
+        return img, label
+
+
 def gaussian_kernel(radius: int = 2) -> np.ndarray:
     """The reference's kernel: gaussian_filter applied to a delta on a
     (2r+1)^2 grid, sigma = 0.3*(r-1)+0.8 (augmentation.py:329-343)."""
@@ -361,8 +372,10 @@ def _native_fast_path_ok(split_cfg: SplitCfg) -> bool:
         return False
     if split_cfg.crop is None:
         return False
-    # blur/rotation/fixed-resize fall back to the numpy pipeline
+    # blur/rotation/fixed-resize/cutout/cutmix fall back to the numpy pipeline
     if split_cfg.gaussian_blur or split_cfg.rand_rotation or split_cfg.resize:
+        return False
+    if split_cfg.cutout or split_cfg.cutmix:
         return False
     try:
         from u2pl_tpu import native
@@ -401,14 +414,25 @@ def build_transform(
             Crop(split_cfg.crop.size, split_cfg.crop.type, ignore_label,
                  img_pad=img_pad)
         )
+    # cutout/cutmix append AFTER crop, cityscapes builder only (reference
+    # cityscapes.py:70-78); they switch the output to the reference Compose
+    # idx>=5 protocol (augmentation.py:31-47): cutout yields the 5-tuple
+    # (img_origin, label_origin, img, label, valid), cutmix the mask triple
+    tail = None
+    if split_cfg.cutout:
+        tail = Cutout(split_cfg.cutout.n_holes, split_cfg.cutout.length)
+    elif split_cfg.cutmix:
+        tail = Cutmix(split_cfg.cutmix.prop_range, split_cfg.cutmix.n_holes)
 
-    def apply(img: np.ndarray, label: np.ndarray) -> Sample:
+    def apply(img: np.ndarray, label: np.ndarray):
         img = img.astype(np.float32)
         label = label.astype(np.int32)
         for t in ts:
             img, label = t(img, label)
         if output_u8:
             img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+        if tail is not None:
+            return tail(img, label)
         return img, label
 
     return apply

@@ -96,8 +96,41 @@ def main():
     sync(state, m)
     dt = time.perf_counter() - t0
 
+    # optional xplane trace of a few steps (ROADMAP #1 conv/layout work):
+    # U2PL_PROFILE_DIR=/tmp/trace python bench.py
+    profile_dir = os.environ.get("U2PL_PROFILE_DIR")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            for _ in range(3):
+                state, m = step(state, img_l, lab_l, img_u, key)
+            sync(state, m)
+
     imgs_per_step = 2 * b  # labeled + unlabeled
     img_per_sec_per_chip = imgs_per_step * iters / dt / n_dev
+    sec_per_step = dt / iters
+
+    # roofline accounting from XLA's own cost model: FLOPs and HBM bytes of
+    # the compiled step -> TFLOP/s, MFU and achieved-bandwidth fractions
+    # (v5e peaks: 197 TFLOP/s bf16, 819 GB/s HBM)
+    tflops = mfu_pct = hbm_gbps = hbm_pct = None
+    try:
+        compiled = step.lower(state, img_l, lab_l, img_u, key).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) / n_dev
+        bytes_hbm = float(ca.get("bytes accessed", 0.0)) / n_dev
+        peak_tflops = 197e12 if dtype == "bfloat16" else 197e12 / 4
+        peak_bw = 819e9
+        if flops > 0:
+            tflops = round(flops / sec_per_step / 1e12, 2)
+            mfu_pct = round(100 * flops / sec_per_step / peak_tflops, 1)
+        if bytes_hbm > 0:
+            hbm_gbps = round(bytes_hbm / sec_per_step / 1e9, 1)
+            hbm_pct = round(100 * bytes_hbm / sec_per_step / peak_bw, 1)
+    except Exception:
+        pass  # cost model unavailable on this backend; img/s still prints
+
     print(
         json.dumps(
             {
@@ -108,6 +141,11 @@ def main():
                     f"ResNet-101 DeepLabv3+, {dtype})"
                 ),
                 "vs_baseline": None,
+                "step_ms": round(sec_per_step * 1e3, 1),
+                "tflops_per_sec": tflops,
+                "mfu_pct": mfu_pct,
+                "hbm_gbps": hbm_gbps,
+                "hbm_bw_pct": hbm_pct,
             }
         )
     )

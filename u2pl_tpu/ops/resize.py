@@ -68,7 +68,7 @@ def resize_bilinear(
     """Bilinear resize of NHWC (or HWC) arrays to spatial `size` (h, w).
 
     Bit-matches torch F.interpolate(mode="bilinear") for both align_corners
-    settings (verified against torch in tests/test_resize.py).
+    settings (verified against torch in tests/test_ops.py).
     """
     squeeze = x.ndim == 3
     if squeeze:
@@ -86,6 +86,52 @@ def resize_bilinear(
     y = jnp.einsum("pw,bowc->bopc", ww, y, precision=jax.lax.Precision.HIGHEST)
     y = y.astype(dtype)
     return y[0] if squeeze else y
+
+
+def interp_matrix_dynamic(
+    in_bucket: int, out_bucket: int, v_in: jax.Array, v_out: jax.Array
+) -> jax.Array:
+    """Align-corners 1-D interpolation matrix with DYNAMIC valid sizes.
+
+    The static path above bakes (in, out) sizes into the compiled program —
+    one recompile per image shape, a compile storm on VOC's hundreds of val
+    sizes.  Here the array shapes are fixed BUCKET sizes and the true sizes
+    (v_in, v_out) are traced scalars: the returned (out_bucket, in_bucket)
+    matrix resizes the top-left v_in entries to the top-left v_out entries
+    (rows >= v_out and cols >= v_in are zero), with exactly torch's
+    align_corners=True weights.  Built from iota comparisons, so one
+    compiled program serves every image size within a bucket.
+    """
+    i = jnp.arange(out_bucket, dtype=jnp.float32)[:, None]
+    j = jnp.arange(in_bucket, dtype=jnp.float32)[None, :]
+    v_in_f = jnp.asarray(v_in, jnp.float32)
+    v_out_f = jnp.asarray(v_out, jnp.float32)
+    scale = (v_in_f - 1.0) / jnp.maximum(v_out_f - 1.0, 1.0)
+    src = jnp.clip(i * scale, 0.0, v_in_f - 1.0)
+    # hat function == the two-tap (1-frac, frac) linear weights
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src - j))
+    return w * (i < v_out_f) * (j < v_in_f)
+
+
+def resize_bilinear_valid(
+    x: jax.Array,
+    out_bucket_hw: tuple,
+    v_in_hw: tuple,
+    v_out_hw: tuple,
+) -> jax.Array:
+    """Bilinear align-corners resize of the valid top-left (v_in_h, v_in_w)
+    region of NHWC `x` into the valid top-left (v_out_h, v_out_w) region of
+    a (out_bucket_h, out_bucket_w) output; everything outside valid is 0.
+    Valid sizes are traced scalars — no recompile across image sizes."""
+    b, h, w, c = x.shape
+    oh, ow = int(out_bucket_hw[0]), int(out_bucket_hw[1])
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    wh = interp_matrix_dynamic(h, oh, v_in_hw[0], v_out_hw[0])
+    ww = interp_matrix_dynamic(w, ow, v_in_hw[1], v_out_hw[1])
+    y = jnp.einsum("oh,bhwc->bowc", wh, xf, precision=jax.lax.Precision.HIGHEST)
+    y = jnp.einsum("pw,bowc->bopc", ww, y, precision=jax.lax.Precision.HIGHEST)
+    return y.astype(dtype)
 
 
 @functools.lru_cache(maxsize=256)

@@ -29,7 +29,12 @@ from u2pl_tpu.evallib.colormap import (
     create_pascal_label_colormap,
 )
 from u2pl_tpu.evallib.metrics import intersection_and_union
-from u2pl_tpu.evallib.slide import make_net_process, predict_city, predict_whole
+from u2pl_tpu.evallib.slide import (
+    make_net_process,
+    make_net_process_bucketed,
+    predict_city,
+    predict_whole,
+)
 from u2pl_tpu.models import build_model
 from u2pl_tpu.utils.checkpoint import load_model_variables
 from u2pl_tpu.utils.convert_torch import torch_to_flax
@@ -50,6 +55,15 @@ def get_parser():
     parser.add_argument("--save_folder", type=str, default="checkpoints/results/")
     parser.add_argument("--names_path", type=str, default="")
     parser.add_argument("--crop", action="store_true", default=False)
+    parser.add_argument(
+        "--no_bucket",
+        action="store_true",
+        default=False,
+        help="disable shape-bucketed whole-image forwards (bucketing pads "
+        "each image to a 128-multiple grid with a masked forward so one "
+        "compiled program serves every image size in the bucket; results "
+        "match the unbucketed path)",
+    )
     return parser
 
 
@@ -115,10 +129,15 @@ def main():
     # eval builds the model without SyncBN (reference eval.py:120)
     model = build_model(cfg.net, axis_name=None)
     variables = load_variables(model, args.model_path, crop_size)
-    net_process = make_net_process(model, variables)
-    logger.info("Load Model Done!")
-
     is_city = "cityscapes" in cfg.dataset.type
+    # whole-image (VOC) path: bucketed masked forwards avoid one recompile
+    # per unique val image size; the crop-grid path already runs at a fixed
+    # crop shape
+    if is_city or args.no_bucket:
+        net_process = make_net_process(model, variables)
+    else:
+        net_process = make_net_process_bucketed(model, variables)
+    logger.info("Load Model Done!")
     inter_meter, union_meter = AverageMeter(), AverageMeter()
     for i, (img_path, lab_path) in enumerate(data_list):
         image = np.asarray(Image.open(img_path).convert("RGB"), np.float32)

@@ -33,6 +33,15 @@ def get_parser():
     parser.add_argument("--config", type=str, default="config.yaml")
     parser.add_argument("--model_path", type=str, default="checkpoints/ckpt_best.ckpt")
     parser.add_argument("--save_folder", type=str, default="viewer")
+    parser.add_argument(
+        "--batch_size",
+        type=int,
+        default=1,
+        help="images per forward (all inputs share the fixed 513/769 "
+        "inference size, so batching amortizes launch overhead and fills "
+        "the MXU; the final partial batch is zero-padded to keep one "
+        "compiled program). 1 reproduces the reference's per-image loop.",
+    )
     return parser
 
 
@@ -70,17 +79,28 @@ def main():
     logger.info("Load Model Done!")
 
     colormap = create_pascal_label_colormap()  # reference quirk: always pascal
-    for image_path in data_list:
-        image_name = os.path.basename(image_path)
-        image = np.asarray(Image.open(image_path).convert("RGB"), np.float32)
-        h, w, _ = image.shape
-        image = (image - mean) / std
-        image = resize_bilinear_numpy(image, input_scale, align_corners=True)
-        logits = net_process(image[None])[0]
-        logits = resize_bilinear_numpy(logits, (h, w), align_corners=True)
-        mask = logits.argmax(-1).astype(np.uint8)
-        colorize(mask, colormap).save(os.path.join(color_folder, image_name))
-        Image.fromarray(mask).save(os.path.join(gray_folder, image_name))
+    bs = max(1, args.batch_size)
+    for start in range(0, len(data_list), bs):
+        chunk = data_list[start : start + bs]
+        images, sizes = [], []
+        for image_path in chunk:
+            image = np.asarray(Image.open(image_path).convert("RGB"), np.float32)
+            sizes.append(image.shape[:2])
+            image = (image - mean) / std
+            images.append(
+                resize_bilinear_numpy(image, input_scale, align_corners=True)
+            )
+        batch = np.stack(images)
+        if len(chunk) < bs:  # zero-pad the tail so one program serves all
+            pad = np.zeros((bs - len(chunk),) + batch.shape[1:], batch.dtype)
+            batch = np.concatenate([batch, pad], axis=0)
+        logits_batch = net_process(batch)
+        for image_path, (h, w), logits in zip(chunk, sizes, logits_batch):
+            image_name = os.path.basename(image_path)
+            logits = resize_bilinear_numpy(logits, (h, w), align_corners=True)
+            mask = logits.argmax(-1).astype(np.uint8)
+            colorize(mask, colormap).save(os.path.join(color_folder, image_name))
+            Image.fromarray(mask).save(os.path.join(gray_folder, image_name))
 
 
 if __name__ == "__main__":

@@ -24,7 +24,61 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from u2pl_tpu.ops.resize import resize_bilinear, resize_bilinear_numpy
+from u2pl_tpu.models.resnet import valid_feature_sizes
+from u2pl_tpu.ops.resize import (
+    resize_bilinear,
+    resize_bilinear_numpy,
+    resize_bilinear_valid,
+)
+
+
+def bucket_dim(n: int, quantum: int = 128) -> int:
+    """Round a spatial dim up to the bucket grid (multiples of `quantum`)."""
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+def make_net_process_bucketed(model, variables, quantum: int = 128) -> Callable:
+    """Shape-bucketed whole-image forward: f(images (1,H,W,3)) -> logits
+    (1,H,W,C) upsampled to input size.
+
+    The reference's whole-image VOC eval forwards each val image at its own
+    size (reference eval.py:226-232, 313-361); under jit that is one
+    recompile per unique image size — a compile storm over VOC's hundreds
+    of val shapes.  Here the image is zero-padded to a bucket shape
+    (dims rounded up to `quantum`), the true size rides along as two traced
+    scalars, and the model's masked forward (SegModel valid_hw) makes the
+    valid region bit-match an unpadded forward.  One compiled program per
+    bucket serves every image size inside it.
+
+    `net_process.compiles()` reports the number of distinct compiled
+    programs (for tests / telemetry).
+    """
+
+    @functools.lru_cache(maxsize=32)
+    def compiled(bh: int, bw: int):
+        @jax.jit
+        def fwd(image, vh, vw):
+            out = model.apply(
+                variables, image, train=False, valid_hw=(vh, vw)
+            )["pred"]
+            v_os4 = (valid_feature_sizes(vh)[1], valid_feature_sizes(vw)[1])
+            return resize_bilinear_valid(out, (bh, bw), v_os4, (vh, vw))
+
+        return fwd
+
+    def net_process(images: np.ndarray) -> np.ndarray:
+        b, h, w, c = images.shape
+        assert b == 1, "bucketed whole-image path is per-image"
+        bh, bw = bucket_dim(h, quantum), bucket_dim(w, quantum)
+        padded = np.zeros((1, bh, bw, c), np.float32)
+        padded[0, :h, :w] = images[0]
+        out = compiled(bh, bw)(
+            jnp.asarray(padded), jnp.int32(h), jnp.int32(w)
+        )
+        return np.asarray(out)[:, :h, :w]
+
+    net_process.compiles = lambda: compiled.cache_info().misses
+    return net_process
 
 
 def make_net_process(model, variables) -> Callable:

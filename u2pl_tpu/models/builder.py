@@ -32,7 +32,12 @@ class SegModel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None):
+        """valid_hw: optional (vh, vw) true image extent for shape-bucketed
+        eval — `x` is zero-padded to a bucket shape beyond the valid
+        top-left region and the forward is masked so the valid region of
+        every output bit-matches an unpadded forward (one compiled program
+        per bucket instead of per image size; see resnet.ResNet)."""
         spec = resnet_spec(self.net.encoder.type)
         encoder = ResNet(
             layers=spec["layers"],
@@ -46,7 +51,7 @@ class SegModel(nn.Module):
             dtype=self.dtype,
             name="encoder",
         )
-        feats = encoder(x, train=train)
+        feats = encoder(x, train=train, valid_hw=valid_hw)
 
         dec_key = self.net.decoder.type.rsplit(".", 1)[-1]
         if dec_key == "dec_deeplabv3_plus":
@@ -59,7 +64,7 @@ class SegModel(nn.Module):
                 dtype=self.dtype,
                 name="decoder",
             )
-            outs = decoder(feats, train=train)
+            outs = decoder(feats, train=train, valid_hw=valid_hw)
         elif dec_key == "dec_deeplabv3":
             decoder = DeepLabV3(
                 num_classes=self.net.num_classes,
@@ -69,7 +74,7 @@ class SegModel(nn.Module):
                 dtype=self.dtype,
                 name="decoder",
             )
-            outs = decoder(feats, train=train)
+            outs = decoder(feats, train=train, valid_hw=valid_hw)
         else:
             raise ValueError(f"unknown decoder type {self.net.decoder.type!r}")
 

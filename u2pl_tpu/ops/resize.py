@@ -102,15 +102,21 @@ def interp_matrix_dynamic(
     align_corners=True weights.  Built from iota comparisons, so one
     compiled program serves every image size within a bucket.
     """
-    i = jnp.arange(out_bucket, dtype=jnp.float32)[:, None]
-    j = jnp.arange(in_bucket, dtype=jnp.float32)[None, :]
-    v_in_f = jnp.asarray(v_in, jnp.float32)
-    v_out_f = jnp.asarray(v_out, jnp.float32)
-    scale = (v_in_f - 1.0) / jnp.maximum(v_out_f - 1.0, 1.0)
-    src = jnp.clip(i * scale, 0.0, v_in_f - 1.0)
-    # hat function == the two-tap (1-frac, frac) linear weights
-    w = jnp.maximum(0.0, 1.0 - jnp.abs(src - j))
-    return w * (i < v_out_f) * (j < v_in_f)
+    i = jnp.arange(out_bucket, dtype=jnp.int32)[:, None]
+    j = jnp.arange(in_bucket, dtype=jnp.int32)[None, :]
+    v_in_i = jnp.asarray(v_in, jnp.int32)
+    v_out_i = jnp.asarray(v_out, jnp.int32)
+    # src = i*(v_in-1)/(v_out-1) split into exact integer floor/remainder so
+    # `frac` is correctly rounded at its own (small) scale — computing src
+    # directly in f32 costs ~1 ulp of src's magnitude, which downstream conv
+    # towers amplify visibly against the f64-computed static-path weights
+    num = i * (v_in_i - 1)
+    den = jnp.maximum(v_out_i - 1, 1)
+    lo = num // den
+    frac = (num - lo * den).astype(jnp.float32) / den.astype(jnp.float32)
+    hi = jnp.minimum(lo + 1, v_in_i - 1)
+    w = jnp.where(j == lo, 1.0 - frac, 0.0) + jnp.where(j == hi, frac, 0.0)
+    return w * (i < v_out_i) * (j < v_in_i)
 
 
 def resize_bilinear_valid(

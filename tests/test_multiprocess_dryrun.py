@@ -1,0 +1,116 @@
+"""Real 2-process jax.distributed dry run on CPU (multi-host plumbing).
+
+The reference bootstraps one torch.distributed process per GPU
+(dist_helper.py:13-46) and all_reduces validation metrics across ranks
+(train_semi.py:639-641).  The TPU build's equivalents are
+`dist.initialize_distributed` (env-driven jax.distributed bootstrap) and
+`dist.all_sum_across_processes` (process_allgather + sum).  Here we launch
+two ACTUAL processes against a local coordinator and check:
+
+  * initialize_distributed picks up JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID (torchrun-style env bootstrap)
+  * process_count/process_index are correct in both processes
+  * all_sum_across_processes returns the true cross-process sum
+  * a jitted computation over a global mesh spanning both processes'
+    devices executes (compiled cross-process collective)
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+CHILD = textwrap.dedent(
+    """
+    import os, sys
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.environ["U2PL_REPO"])
+    from u2pl_tpu.dist import all_sum_across_processes, initialize_distributed
+
+    initialize_distributed()
+    pid = jax.process_index()
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 4, len(jax.devices())
+
+    # host-side metric reduction (val inter/union)
+    x = np.arange(4, dtype=np.int64) + 10 * pid
+    s = all_sum_across_processes(x)
+    want = 2 * np.arange(4, dtype=np.int64) + 10
+    assert (s == want).all(), (s, want)
+
+    # compiled cross-process reduction over the global mesh
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    local = np.full((2, 3), float(pid + 1), np.float32)  # 2 rows per process
+    arr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("data")), local, (4, 3)
+    )
+    total = jax.jit(
+        lambda a: jnp.sum(a), out_shardings=NamedSharding(mesh, P())
+    )(arr)
+    got = float(jax.device_get(total))
+    assert got == 2 * 3 * 1.0 + 2 * 3 * 2.0, got
+
+    print("CHILD_OK", pid, flush=True)
+    """
+)
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_dryrun(tmp_path):
+    port = _free_port()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        # the axon sitecustomize registers the TPU plugin at interpreter
+        # startup — strip its plumbing BEFORE the child starts so the child
+        # is a pure-CPU interpreter (same recipe as __graft_entry__)
+        for k in list(env):
+            if k.startswith(("PALLAS_AXON", "AXON_", "TPU_")):
+                env.pop(k)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            U2PL_REPO=repo,
+        )
+        env.pop("U2PL_TPU_MULTIHOST", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", CHILD],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = []
+    for pid, p in enumerate(procs):
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"process {pid} timed out")
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {pid} failed:\n{out}"
+        assert f"CHILD_OK {pid}" in out, out

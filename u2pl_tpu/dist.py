@@ -33,14 +33,23 @@ def initialize_distributed() -> None:
     if int(os.environ.get("U2PL_TPU_MULTIHOST", "0")):
         jax.distributed.initialize()
         return
+    # explicit env bootstrap (the moral equivalent of torchrun's
+    # RANK/WORLD_SIZE/MASTER_ADDR, reference dist_helper.py:35-37):
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    )
+    nprocs = os.environ.get("JAX_NUM_PROCESSES")
+    proc_id = os.environ.get("JAX_PROCESS_ID")
+    if coord and nprocs and proc_id is not None:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nprocs),
+            process_id=int(proc_id),
+        )
+        return
     ntasks = int(os.environ.get("SLURM_NTASKS") or 1)
     ompi = int(os.environ.get("OMPI_COMM_WORLD_SIZE") or 1)
-    if (
-        ntasks > 1
-        or ompi > 1
-        or "JAX_COORDINATOR_ADDRESS" in os.environ
-        or "COORDINATOR_ADDRESS" in os.environ
-    ):
+    if ntasks > 1 or ompi > 1 or coord:
         jax.distributed.initialize()
 
 

@@ -103,8 +103,15 @@ def compute_contra_memobank_loss(
     prototype: Optional[jax.Array] = None,  # (C, Q, 1, F) when anchor_ema
     i_iter: jax.Array = 0,
     strict_reference: bool = True,
+    return_info: bool = False,
 ):
-    """Returns (new_bank, loss) or (new_prototype, new_bank, loss)."""
+    """Returns (new_bank, loss) or (new_prototype, new_bank, loss); with
+    `return_info`, an info dict is appended — currently
+    ``{"neg_candidates": (C,) int32}``, the per-class count of
+    negative-key candidates this device produced BEFORE the
+    max_keys_per_class_per_step cap (the reference enqueues all of them,
+    unbounded — reference utils.py:27-47).  Telemetry for sizing the cap
+    (tools/measure_bank_cap.py)."""
     num_labeled = label_l.shape[0]
     b, h, w, feat = rep.shape
     num_classes = label_l.shape[-1]
@@ -245,6 +252,8 @@ def compute_contra_memobank_loss(
         mean = jax.lax.pmean(jax.lax.stop_gradient(loss), axis_name)
         loss = local_scaled - jax.lax.stop_gradient(local_scaled) + mean
 
-    if prototype is not None:
-        return new_prototype, bank, loss
-    return bank, loss
+    out = (bank, loss) if prototype is None else (new_prototype, bank, loss)
+    if return_info:
+        info = {"neg_candidates": negative_mask.sum(axis=0).astype(jnp.int32)}
+        out = out + (info,)
+    return out

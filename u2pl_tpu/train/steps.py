@@ -282,12 +282,15 @@ def make_semi_step(
             "batch_stats": state.teacher_batch_stats,
         }
         pred_u_teacher = model.apply(t_vars, image_u, train=False)["pred"]
-        pred_u_teacher = _upsample(pred_u_teacher, hw)
-        prob_u_teacher_full = jax.nn.softmax(
-            pred_u_teacher.astype(jnp.float32), axis=-1
+        pred_u_teacher = _upsample(pred_u_teacher, hw).astype(jnp.float32)
+        # max softmax prob == exp(max logit - logsumexp): two reductions
+        # instead of materializing the (B, H, W, C) softmax (~88 MB at
+        # 513²/21c) just to take its max/argmax (reference :322-324)
+        logits_u_aug = jnp.exp(
+            pred_u_teacher.max(axis=-1)
+            - jax.nn.logsumexp(pred_u_teacher, axis=-1)
         )
-        logits_u_aug = prob_u_teacher_full.max(axis=-1)
-        label_u_aug = prob_u_teacher_full.argmax(axis=-1).astype(jnp.int32)
+        label_u_aug = pred_u_teacher.argmax(axis=-1).astype(jnp.int32)
 
         # ---- 2. strong augmentation, 50% coin (:326-337) ----
         if unsup_cfg.apply_aug:
@@ -422,14 +425,17 @@ def make_semi_step(
                     axis_name=AXIS,
                     prototype=state.prototype if contra_cfg.anchor_ema else None,
                     i_iter=i_iter,
+                    return_info=True,
                 )
                 if contra_cfg.anchor_ema:
-                    new_proto, new_bank, contra_loss = res
+                    new_proto, new_bank, contra_loss, contra_info = res
                 else:
-                    new_bank, contra_loss = res
+                    new_bank, contra_loss, contra_info = res
                 contra_loss = contra_loss * contra_cfg.loss_weight
+                neg_cand = contra_info["neg_candidates"]
             else:
                 contra_loss = jnp.zeros(())
+                neg_cand = jnp.zeros((num_classes,), jnp.int32)
 
             total = sup_loss + unsup_loss + contra_loss
             return total, (
@@ -439,12 +445,21 @@ def make_semi_step(
                 sup_loss,
                 unsup_loss,
                 contra_loss,
+                neg_cand,
             )
 
         (_, aux_out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
-        new_bs, new_bank, new_proto, sup_loss, unsup_loss, contra_loss = aux_out
+        (
+            new_bs,
+            new_bank,
+            new_proto,
+            sup_loss,
+            unsup_loss,
+            contra_loss,
+            neg_cand,
+        ) = aux_out
 
         new_params, new_opt_state, lr = _grad_metrics_and_update(
             cfg, tx, max_iter, steps_per_epoch, state, grads, AXIS
@@ -472,6 +487,9 @@ def make_semi_step(
             "uns_loss": jax.lax.psum(unsup_loss, AXIS),
             "con_loss": jax.lax.psum(contra_loss, AXIS),
             "lr": lr,
+            # worst per-device negative-candidate count per class this step
+            # (pre-cap); sizes contrastive.max_keys_per_class_per_step
+            "neg_cand": jax.lax.pmax(neg_cand, AXIS),
         }
         new_state = state.replace(
             step=i_iter + 1,

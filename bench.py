@@ -100,14 +100,56 @@ def main():
     # U2PL_PROFILE_DIR=/tmp/trace python bench.py
     profile_dir = os.environ.get("U2PL_PROFILE_DIR")
     if profile_dir:
-        with jax.profiler.trace(profile_dir):
-            for _ in range(3):
-                state, m = step(state, img_l, lab_l, img_u, key)
-            sync(state, m)
+        # the axon-tunneled TPU rejects xplane capture (FailedPrecondition
+        # on the first transfer inside the trace); don't let that kill the
+        # benchmark numbers — tools/step_breakdown.py is the fallback
+        try:
+            with jax.profiler.trace(profile_dir):
+                for _ in range(3):
+                    state, m = step(state, img_l, lab_l, img_u, key)
+                sync(state, m)
+        except Exception as e:  # pragma: no cover - backend dependent
+            print(f"profiling unsupported on this backend: {e!r}", flush=True)
 
     imgs_per_step = 2 * b  # labeled + unlabeled
     img_per_sec_per_chip = imgs_per_step * iters / dt / n_dev
     sec_per_step = dt / iters
+
+    # environment canary: effective TFLOP/s of a bare bf16 conv chain.
+    # The tunneled TPU backend has been observed to degrade 50-90x for
+    # large programs (e.g. after a crashed profiling session) while small
+    # programs stay fast; a healthy v5e shows ~105-110 here.  If step
+    # throughput looks bad but the canary is healthy, suspect the backend
+    # state, not the code.
+    canary_tflops = None
+    try:
+        ck = jnp.asarray(
+            np.random.RandomState(1).randn(3, 3, 256, 256), jnp.bfloat16
+        ) * 0.01
+        cx = jnp.asarray(
+            np.random.RandomState(0).randn(8, 129, 129, 256), jnp.bfloat16
+        )
+
+        @jax.jit
+        def _conv_chain(a):
+            for _ in range(10):
+                a = jax.lax.conv_general_dilated(
+                    a, ck, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            return a
+
+        r = _conv_chain(cx)
+        jax.device_get(r[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        r = cx
+        for _ in range(5):
+            r = _conv_chain(r)
+        jax.device_get(r[0, 0, 0, 0])
+        c_dt = (time.perf_counter() - t0) / 50
+        canary_tflops = round(8 * 129 * 129 * 256 * 256 * 9 * 2 / c_dt / 1e12, 1)
+    except Exception:
+        pass
 
     # roofline accounting from XLA's own cost model: FLOPs and HBM bytes of
     # the compiled step -> TFLOP/s, MFU and achieved-bandwidth fractions
@@ -146,6 +188,7 @@ def main():
                 "mfu_pct": mfu_pct,
                 "hbm_gbps": hbm_gbps,
                 "hbm_bw_pct": hbm_pct,
+                "canary_tflops": canary_tflops,
             }
         )
     )

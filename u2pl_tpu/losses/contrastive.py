@@ -72,18 +72,26 @@ def _sample_with_replacement(
 def _select_keys(
     mask: jax.Array, rng: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Pick up to k indices from a boolean mask (random subset when the
-    mask has more than k true entries; the reference enqueues all,
-    unbounded — the cap is the fixed-shape budget, documented in
-    ContrastiveCfg.max_keys_per_class_per_step). Returns (idx (k,),
-    valid (k,) bool)."""
+    """Pick up to k indices from a boolean mask (uniform-random subset when
+    the mask has more than k true entries; the reference enqueues all,
+    unbounded — utils.py:27-47).  With k at the default cap (sized above
+    the measured candidate maximum, docs/CONFIG.md) this enqueues exactly
+    the reference's candidate stream.
+
+    Implemented as a full argsort over random priorities (masked-out
+    pixels sort last) with the slab sliced AFTER the sort, because the two
+    "obvious" lowerings both break on TPU inside the shard_map'd train
+    step: `lax.top_k` is rejected by the backend at k ~ 12k
+    (INVALID_ARGUMENT), and a cumsum+scatter compaction that is fast in
+    isolation lowers to a ~90x-slower serialized scatter under manual
+    partitioning.  The argsort's cost depends only on the pixel count,
+    never on k.  Returns (idx (k,), valid (k,) bool)."""
     pri = jnp.where(mask, jax.random.uniform(rng, mask.shape), jnp.inf)
-    k_eff = min(k, mask.shape[0])
-    _, idx = jax.lax.top_k(-pri, k_eff)
-    if k_eff < k:  # fewer pixels than the cap: pad the slab
-        idx = jnp.concatenate([idx, jnp.zeros((k - k_eff,), idx.dtype)])
-    n = jnp.minimum(mask.sum(), k_eff)
-    valid = jnp.arange(k) < n
+    order = jnp.argsort(pri)  # ascending; invalid pixels land last
+    idx = order[: min(k, mask.shape[0])]
+    if idx.shape[0] < k:  # fewer pixels than the cap: pad the slab
+        idx = jnp.concatenate([idx, jnp.zeros((k - idx.shape[0],), idx.dtype)])
+    valid = jnp.arange(k) < jnp.minimum(mask.sum(), k)
     return idx, valid
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -24,8 +26,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200):
+
+def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200, seed: int = 0):
     from __graft_entry__ import _flagship_cfg
     from u2pl_tpu.dist import make_mesh
     from u2pl_tpu.memobank import init_memobank
@@ -48,7 +52,10 @@ def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200):
                 cfg.net.encoder, type="u2pl.models.resnet.resnet50"
             ),
         ),
-        trainer=dataclasses.replace(cfg.trainer, epochs=10),
+        # annealing schedules (drop_percent, alpha_t) divide by epochs;
+        # epochs must cover the requested steps or the annealing factor
+        # goes negative past max_iter and the percentile gather NaNs
+        trainer=dataclasses.replace(cfg.trainer, epochs=max(1, steps // 20)),
     )
     mesh = make_mesh()
     model = build_model(cfg.net, axis_name="data")
@@ -70,8 +77,9 @@ def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200):
         prototype=jnp.zeros((C, 256, 1, 256)),
     )
 
-    # identical learnable task + data across the two runs
-    rng = np.random.RandomState(0)
+    # identical learnable task + data across the two runs (set `seed`
+    # to measure seed-to-seed noise as the control for dtype deltas)
+    rng = np.random.RandomState(seed)
 
     def make_batch(b):
         from scipy.ndimage import uniform_filter
@@ -87,7 +95,7 @@ def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200):
     spe = 20
     warm = make_semi_warmup_step(cfg, model, tx, spe, mesh)
     semi = make_semi_step(cfg, model, tx, spe, mesh)
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(1 + seed)
     img_l, lab_l = make_batch(4)
     img_u, _ = make_batch(4)
 
@@ -124,19 +132,37 @@ def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200):
 
 
 def main():
+    # Loss-trajectory bands turned out to be the wrong verdict criterion:
+    # an f32 seed-1 control diverges from f32 seed-0 by as much as bf16
+    # does (sup_last 1.57 vs 1.98, uns_last 0.045 vs 0.028 at 400 steps —
+    # docs/PERF.md), i.e. trajectory divergence is seed noise, not
+    # precision bias.  The verdict is therefore: both dtypes must TRAIN
+    # (sup_last < 0.6 * first) and bf16's train mIoU must sit within the
+    # measured f32 seed spread (plus a small margin) of the f32 run.
     r32 = run("float32")
     print(json.dumps(r32), flush=True)
+    r32b = run("float32", seed=1)
+    print(json.dumps(r32b), flush=True)
     r16 = run("bfloat16")
     print(json.dumps(r16), flush=True)
 
+    seed_spread = abs(r32["train_miou"] - r32b["train_miou"])
     ok = (
         r32["sup_last"] < 0.6 * r32["sup_first"]
         and r16["sup_last"] < 0.6 * r16["sup_first"]
-        and abs(r16["sup_last"] - r32["sup_last"]) <= 0.15 * max(r32["sup_last"], 0.1)
-        and abs(r16["uns_last"] - r32["uns_last"]) <= 0.15 * max(r32["uns_last"], 0.1)
-        and r16["train_miou"] >= r32["train_miou"] - 0.03
+        and r16["train_miou"] >= r32["train_miou"] - (seed_spread + 0.03)
     )
-    print(json.dumps({"bf16_default_ok": ok, "f32": r32, "bf16": r16}))
+    print(
+        json.dumps(
+            {
+                "bf16_default_ok": ok,
+                "f32_seed_miou_spread": round(seed_spread, 4),
+                "f32": r32,
+                "f32_seed1": r32b,
+                "bf16": r16,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

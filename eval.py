@@ -32,6 +32,7 @@ from u2pl_tpu.evallib.metrics import intersection_and_union
 from u2pl_tpu.evallib.slide import (
     make_net_process,
     make_net_process_bucketed,
+    pred_os_index,
     predict_city,
     predict_whole,
 )
@@ -126,8 +127,11 @@ def main():
 
     data_list, colormap = build_data_list(cfg)
 
-    # eval builds the model without SyncBN (reference eval.py:120)
-    model = build_model(cfg.net, axis_name=None)
+    # eval builds the model without SyncBN (reference eval.py:120) and with
+    # float32 compute regardless of the training dtype: the reference
+    # evaluates in f32, and bf16 forwards can flip argmax at near-ties
+    # (bf16-by-default is a training-throughput choice, not an eval one)
+    model = build_model(cfg.net, axis_name=None, dtype=jnp.float32)
     variables = load_variables(model, args.model_path, crop_size)
     is_city = "cityscapes" in cfg.dataset.type
     # whole-image (VOC) path: bucketed masked forwards avoid one recompile
@@ -136,7 +140,9 @@ def main():
     if is_city or args.no_bucket:
         net_process = make_net_process(model, variables)
     else:
-        net_process = make_net_process_bucketed(model, variables)
+        net_process = make_net_process_bucketed(
+            model, variables, pred_os=pred_os_index(cfg.net.decoder.type)
+        )
     logger.info("Load Model Done!")
     inter_meter, union_meter = AverageMeter(), AverageMeter()
     for i, (img_path, lab_path) in enumerate(data_list):

@@ -11,6 +11,7 @@ import logging
 import os
 from argparse import ArgumentParser
 
+import jax.numpy as jnp
 import numpy as np
 
 from u2pl_tpu.config import load_config
@@ -73,7 +74,8 @@ def main():
             s = line.strip()
             data_list.append(os.path.join(data_root, f"JPEGImages/{s}.jpg"))
 
-    model = build_model(cfg.net, axis_name=None)
+    # f32 compute for inference regardless of training dtype (see eval.py)
+    model = build_model(cfg.net, axis_name=None, dtype=jnp.float32)
     variables = load_variables(model, args.model_path, input_scale)
     net_process = make_net_process(model, variables)
     logger.info("Load Model Done!")

@@ -30,7 +30,7 @@ from u2pl_tpu.models.resnet import valid_feature_sizes
 C = 5
 
 
-def tiny_cfg():
+def tiny_cfg(decoder_type="u2pl.models.decoder.dec_deeplabv3_plus"):
     raw = {
         "dataset": {"type": "pascal", "batch_size": 1, "n_sup": 1},
         "criterion": {"type": "CELoss", "kwargs": {}},
@@ -52,7 +52,7 @@ def tiny_cfg():
                 },
             },
             "decoder": {
-                "type": "u2pl.models.decoder.dec_deeplabv3_plus",
+                "type": decoder_type,
                 "kwargs": {"inner_planes": 16, "dilations": [2, 4, 6]},
             },
         },
@@ -179,3 +179,38 @@ def test_bucketed_eval_compile_count_and_masks(model_and_vars):
         solid = margin > 2e-2 * scale
         assert solid.mean() > 0.5
         assert (lb.argmax(-1) == lu.argmax(-1))[solid].all()
+
+
+def test_pred_os_index_dispatch():
+    from u2pl_tpu.evallib.slide import pred_os_index
+
+    assert pred_os_index("u2pl.models.decoder.dec_deeplabv3_plus") == 1
+    assert pred_os_index("u2pl.models.decoder.dec_deeplabv3") == 2
+    with pytest.raises(ValueError):
+        pred_os_index("u2pl.models.decoder.dec_unknown")
+
+
+def test_bucketed_matches_unbucketed_deeplabv3_os8():
+    """Regression (advisor r2): the bucketed path used to hardcode os4
+    valid sizes, silently corrupting predictions for dec_deeplabv3, whose
+    pred is at os8 (reference decoder.py:8-42)."""
+    from u2pl_tpu.evallib.slide import pred_os_index
+
+    cfg = tiny_cfg("u2pl.models.decoder.dec_deeplabv3")
+    model = build_model(cfg.net, axis_name=None)
+    variables = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    net_b = make_net_process_bucketed(
+        model, variables, quantum=64,
+        pred_os=pred_os_index(cfg.net.decoder.type),
+    )
+    net_u = make_net_process(model, variables)
+
+    rng = np.random.RandomState(11)
+    for h, w in [(65, 97), (83, 70)]:
+        img = rng.randn(h, w, 3).astype(np.float32)
+        lb = net_b(img[None])[0]
+        lu = net_u(img[None])[0]
+        scale = np.abs(lu).max()
+        assert np.abs(lb - lu).max() <= 5e-3 * scale, np.abs(lb - lu).max()

@@ -114,3 +114,60 @@ def test_two_process_distributed_dryrun(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {pid} failed:\n{out}"
         assert f"CHILD_OK {pid}" in out, out
+
+
+def test_env_bootstrap_validation(monkeypatch):
+    """Malformed/partial explicit-env bootstraps must fail loudly, not with
+    an uncaught int('') ValueError or a silent single-process fallthrough
+    (advisor r2)."""
+    import jax
+
+    from u2pl_tpu import dist as d
+
+    calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **k: calls.append((a, k))
+    )
+    for k in (
+        "U2PL_TPU_MULTIHOST", "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "JAX_NUM_PROCESSES", "JAX_PROCESS_ID", "SLURM_NTASKS",
+        "OMPI_COMM_WORLD_SIZE",
+    ):
+        monkeypatch.delenv(k, raising=False)
+
+    # clean single-process env: no-op
+    d.initialize_distributed()
+    assert calls == []
+
+    # complete, well-formed triple: initializes with parsed values
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", " 2 ")
+    monkeypatch.setenv("JAX_PROCESS_ID", "1")
+    d.initialize_distributed()
+    assert calls and calls[-1][1]["num_processes"] == 2
+    assert calls[-1][1]["process_id"] == 1
+
+    # partial / malformed sets: loud RuntimeError naming the variables
+    bad_envs = [
+        {"JAX_NUM_PROCESSES": "2"},  # missing coord + proc_id
+        {"JAX_COORDINATOR_ADDRESS": "h:1", "JAX_NUM_PROCESSES": "2",
+         "JAX_PROCESS_ID": ""},  # set-but-empty
+        {"JAX_COORDINATOR_ADDRESS": "h:1", "JAX_NUM_PROCESSES": "abc",
+         "JAX_PROCESS_ID": "0"},  # non-integer
+    ]
+    for bad in bad_envs:
+        for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+                  "JAX_PROCESS_ID"):
+            monkeypatch.delenv(k, raising=False)
+        for k, v in bad.items():
+            monkeypatch.setenv(k, v)
+        with pytest.raises(RuntimeError, match="bootstrap"):
+            d.initialize_distributed()
+
+    # coordinator address alone is NOT an error: auto-detection handles it
+    for k in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:1234")
+    n = len(calls)
+    d.initialize_distributed()
+    assert len(calls) == n + 1 and calls[-1] == ((), {})

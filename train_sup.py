@@ -62,7 +62,9 @@ def main():
         tb = None
 
     model = build_model(cfg.net, axis_name="data")
-    model_eval = build_model(cfg.net, axis_name=None)
+    # in-loop validation runs in f32 like the reference regardless of
+    # the training compute dtype (bf16 can flip argmax at near-ties)
+    model_eval = build_model(cfg.net, axis_name=None, dtype=jnp.float32)
 
     loader_sup, loader_val = build_loaders(
         cfg,

@@ -35,12 +35,27 @@ def initialize_distributed() -> None:
         return
     # explicit env bootstrap (the moral equivalent of torchrun's
     # RANK/WORLD_SIZE/MASTER_ADDR, reference dist_helper.py:35-37):
-    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-        "COORDINATOR_ADDRESS"
-    )
-    nprocs = os.environ.get("JAX_NUM_PROCESSES")
-    proc_id = os.environ.get("JAX_PROCESS_ID")
-    if coord and nprocs and proc_id is not None:
+    coord = (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+        or ""
+    ).strip()
+    nprocs = (os.environ.get("JAX_NUM_PROCESSES") or "").strip()
+    proc_id = (os.environ.get("JAX_PROCESS_ID") or "").strip()
+    if nprocs or proc_id:
+        # explicit bootstrap: all three must be present and well-formed —
+        # a partial/malformed set would otherwise fail cryptically (int(''))
+        # or silently fall through to single-process mode.  (A coordinator
+        # address alone is fine: SLURM/OpenMPI auto-detection below can fill
+        # in the rest.)
+        if not (coord and nprocs.isdigit() and proc_id.isdigit()):
+            raise RuntimeError(
+                "incomplete explicit jax.distributed bootstrap: need all of "
+                "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES (int), "
+                "JAX_PROCESS_ID (int); got "
+                f"coordinator={coord!r} num_processes={nprocs!r} "
+                f"process_id={proc_id!r}"
+            )
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(nprocs),

@@ -37,9 +37,26 @@ def bucket_dim(n: int, quantum: int = 128) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
-def make_net_process_bucketed(model, variables, quantum: int = 128) -> Callable:
+def pred_os_index(decoder_type: str) -> int:
+    """Index into valid_feature_sizes() for the decoder's pred resolution:
+    dec_deeplabv3_plus emits logits at os4 (reference decoder.py:113-119),
+    dec_deeplabv3 at os8 (no low-level skip, reference decoder.py:8-42)."""
+    key = decoder_type.rsplit(".", 1)[-1]
+    if key == "dec_deeplabv3_plus":
+        return 1  # os4
+    if key == "dec_deeplabv3":
+        return 2  # os8
+    raise ValueError(f"unknown decoder type {decoder_type!r}")
+
+
+def make_net_process_bucketed(
+    model, variables, quantum: int = 128, pred_os: int = 1
+) -> Callable:
     """Shape-bucketed whole-image forward: f(images (1,H,W,3)) -> logits
-    (1,H,W,C) upsampled to input size.
+    (1,H,W,C) upsampled to input size.  `pred_os` is the
+    valid_feature_sizes() index of the decoder's pred resolution (see
+    pred_os_index) — using the wrong stride would resize with wrong valid
+    sizes and silently corrupt predictions.
 
     The reference's whole-image VOC eval forwards each val image at its own
     size (reference eval.py:226-232, 313-361); under jit that is one
@@ -61,8 +78,11 @@ def make_net_process_bucketed(model, variables, quantum: int = 128) -> Callable:
             out = model.apply(
                 variables, image, train=False, valid_hw=(vh, vw)
             )["pred"]
-            v_os4 = (valid_feature_sizes(vh)[1], valid_feature_sizes(vw)[1])
-            return resize_bilinear_valid(out, (bh, bw), v_os4, (vh, vw))
+            v_pred = (
+                valid_feature_sizes(vh)[pred_os],
+                valid_feature_sizes(vw)[pred_os],
+            )
+            return resize_bilinear_valid(out, (bh, bw), v_pred, (vh, vw))
 
         return fwd
 

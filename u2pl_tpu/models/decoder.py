@@ -44,12 +44,19 @@ class ASPP(nn.Module):
         norm = make_norm(self.axis_name, dtype=self.dtype)
         ra = not train
 
-        # branch 1: global average pooling -> 1x1 conv -> broadcast back
+        # branch 1: global average pooling -> 1x1 conv -> broadcast back.
+        # Accumulate in f32: under bf16 compute the valid count (up to ~16k
+        # at os8) is not exactly representable and a bf16 sum over thousands
+        # of elements drifts from the jnp.mean path the parity tests pin.
         if valid_hw is not None:
-            count = jnp.asarray(valid_hw[0] * valid_hw[1], x.dtype)
-            pooled = jnp.sum(x, axis=(1, 2), keepdims=True) / count
+            count = jnp.asarray(valid_hw[0] * valid_hw[1], jnp.float32)
+            pooled = (
+                jnp.sum(x.astype(jnp.float32), axis=(1, 2), keepdims=True) / count
+            ).astype(x.dtype)
         else:
-            pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+            pooled = jnp.mean(
+                x.astype(jnp.float32), axis=(1, 2), keepdims=True
+            ).astype(x.dtype)
         f1 = Conv(self.inner_planes, 1, dtype=self.dtype, name="img_conv")(pooled)
         f1 = norm(use_running_average=ra, name="img_bn")(f1)
         f1 = nn.relu(f1)

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200, seed: int = 0):
+def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200, seed: int = 0,
+        encoder: str = "u2pl.models.resnet.resnet50", batch: int = 4):
     from __graft_entry__ import _flagship_cfg
     from u2pl_tpu.dist import make_mesh
     from u2pl_tpu.memobank import init_memobank
@@ -48,9 +49,7 @@ def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200, seed: int = 0
         net=dataclasses.replace(
             cfg.net,
             dtype=dtype,
-            encoder=dataclasses.replace(
-                cfg.net.encoder, type="u2pl.models.resnet.resnet50"
-            ),
+            encoder=dataclasses.replace(cfg.net.encoder, type=encoder),
         ),
         # annealing schedules (drop_percent, alpha_t) divide by epochs;
         # epochs must cover the requested steps or the annealing factor
@@ -96,9 +95,16 @@ def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200, seed: int = 0
     warm = make_semi_warmup_step(cfg, model, tx, spe, mesh)
     semi = make_semi_step(cfg, model, tx, spe, mesh)
     key = jax.random.PRNGKey(1 + seed)
-    img_l, lab_l = make_batch(4)
-    img_u, _ = make_batch(4)
+    img_l, lab_l = make_batch(batch)
+    img_u, _ = make_batch(batch)
 
+    # sample the entropy-gate thresholds + bank occupancy along the run:
+    # dtype sensitivity of the percentile gates is the advisor-flagged risk
+    # of bf16-by-default, so track the gates themselves, not just losses
+    sample_at = sorted(
+        {spe, steps // 4, steps // 2, 3 * steps // 4, steps - 1} - set(range(spe))
+    )
+    traj = []
     first = last_sup = last_uns = last_con = None
     t0 = time.time()
     for it in range(steps):
@@ -113,6 +119,19 @@ def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200, seed: int = 0
             last_sup = float(mm["sup_loss"])
             last_uns = float(mm["uns_loss"])
             last_con = float(mm["con_loss"])
+        if it in sample_at:
+            mm = jax.device_get(m)
+            traj.append(
+                {
+                    "step": it,
+                    "drop_thresh": round(float(mm["drop_thresh"]), 5),
+                    "low_thresh": round(float(mm.get("low_thresh", 0.0)), 5),
+                    "high_thresh": round(float(mm.get("high_thresh", 0.0)), 5),
+                    "bank_occ": int(
+                        np.asarray(jax.device_get(state.bank.occupancy)).sum()
+                    ),
+                }
+            )
 
     val = make_val_step(model_eval, C, 255)
     inter, union, _ = val(
@@ -127,11 +146,29 @@ def run(dtype: str, crop: int = 257, C: int = 8, steps: int = 200, seed: int = 0
         "con_last": round(last_con, 4),
         "train_miou": round(float(iou.mean()), 4),
         "bank_occupancy": int(np.asarray(state.bank.occupancy).sum()),
+        "thresholds": traj,
         "seconds": round(time.time() - t0, 1),
     }
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crop", type=int, default=257)
+    ap.add_argument("--classes", type=int, default=8)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument(
+        "--encoder", default="u2pl.models.resnet.resnet50",
+        help="flagship burn-in: --encoder u2pl.models.resnet.resnet101 "
+        "--crop 513 --classes 21 --steps 2000",
+    )
+    args = ap.parse_args()
+    kw = dict(
+        crop=args.crop, C=args.classes, steps=args.steps,
+        encoder=args.encoder, batch=args.batch,
+    )
     # Loss-trajectory bands turned out to be the wrong verdict criterion:
     # an f32 seed-1 control diverges from f32 seed-0 by as much as bf16
     # does (sup_last 1.57 vs 1.98, uns_last 0.045 vs 0.028 at 400 steps —
@@ -139,11 +176,11 @@ def main():
     # precision bias.  The verdict is therefore: both dtypes must TRAIN
     # (sup_last < 0.6 * first) and bf16's train mIoU must sit within the
     # measured f32 seed spread (plus a small margin) of the f32 run.
-    r32 = run("float32")
+    r32 = run("float32", **kw)
     print(json.dumps(r32), flush=True)
-    r32b = run("float32", seed=1)
+    r32b = run("float32", seed=1, **kw)
     print(json.dumps(r32b), flush=True)
-    r16 = run("bfloat16")
+    r16 = run("bfloat16", **kw)
     print(json.dumps(r16), flush=True)
 
     seed_spread = abs(r32["train_miou"] - r32b["train_miou"])

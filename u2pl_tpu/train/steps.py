@@ -282,14 +282,18 @@ def make_semi_step(
             "batch_stats": state.teacher_batch_stats,
         }
         pred_u_teacher = model.apply(t_vars, image_u, train=False)["pred"]
-        pred_u_teacher = _upsample(pred_u_teacher, hw).astype(jnp.float32)
+        # Upsampled teacher logits stay in the MODEL dtype (resize_bilinear
+        # interpolates in f32 internally and casts back): under bf16 this
+        # halves the largest live tensor in the step (513²x21 logits, 88 MB
+        # f32 -> 44 MB) while f32 configs are bit-unchanged.  Reductions
+        # below cast to f32 element-wise, which XLA fuses (no f32 copy in
+        # HBM).
+        pred_u_teacher = _upsample(pred_u_teacher, hw)
+        pt32 = pred_u_teacher.astype(jnp.float32)
         # max softmax prob == exp(max logit - logsumexp): two reductions
         # instead of materializing the (B, H, W, C) softmax (~88 MB at
         # 513²/21c) just to take its max/argmax (reference :322-324)
-        logits_u_aug = jnp.exp(
-            pred_u_teacher.max(axis=-1)
-            - jax.nn.logsumexp(pred_u_teacher, axis=-1)
-        )
+        logits_u_aug = jnp.exp(pt32.max(axis=-1) - jax.nn.logsumexp(pt32, axis=-1))
         label_u_aug = pred_u_teacher.argmax(axis=-1).astype(jnp.int32)
 
         # ---- 2. strong augmentation, 50% coin (:326-337) ----
@@ -490,7 +494,14 @@ def make_semi_step(
             # worst per-device negative-candidate count per class this step
             # (pre-cap); sizes contrastive.max_keys_per_class_per_step
             "neg_cand": jax.lax.pmax(neg_cand, AXIS),
+            # entropy-gate telemetry (mean of the per-device thresholds —
+            # like the reference, each replica gates on its own batch's
+            # percentiles): dtype-sensitivity tracking for tools/ab_bf16.py
+            "drop_thresh": jax.lax.pmean(drop_thresh, AXIS),
         }
+        if contra_cfg is not None:
+            metrics["low_thresh"] = jax.lax.pmean(low_thresh, AXIS)
+            metrics["high_thresh"] = jax.lax.pmean(high_thresh, AXIS)
         new_state = state.replace(
             step=i_iter + 1,
             params=new_params,

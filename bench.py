@@ -42,6 +42,14 @@ def main():
     dtype = os.environ.get("U2PL_BENCH_DTYPE", "bfloat16")
     cfg = _flagship_cfg(crop=crop)
     cfg = dataclasses.replace(cfg, net=dataclasses.replace(cfg.net, dtype=dtype))
+    if os.environ.get("U2PL_BENCH_REMAT"):  # jax.checkpoint residual blocks
+        cfg = dataclasses.replace(
+            cfg,
+            net=dataclasses.replace(
+                cfg.net,
+                encoder=dataclasses.replace(cfg.net.encoder, remat=True),
+            ),
+        )
     mesh = make_mesh()
     n_dev = mesh.devices.size
 

@@ -217,6 +217,33 @@ def main():
         out["student_fwd_bwd_ms"] = None
         out["student_fwd_bwd_error"] = type(e).__name__
 
+    # isolated entropy machinery: the ONE masked sort that serves all three
+    # per-step percentiles (steps.py), at the unlabeled-batch entropy shape
+    from u2pl_tpu.ops.quantile import masked_sort, percentile_from_sorted
+
+    @jax.jit
+    def entropy_sort(ent, lab):
+        s, nv = masked_sort(ent, lab != 255)
+        return (
+            percentile_from_sorted(s, nv, 80.0),
+            percentile_from_sorted(s, nv, 20.0),
+            percentile_from_sorted(s, nv, 98.0),
+        )
+
+    ent = jnp.asarray(rng.rand(args.batch, crop, crop), jnp.float32)
+    try:
+        out["entropy_sort_ms"] = round(
+            time_fn(
+                lambda: entropy_sort(ent, lab_l[: args.batch]),
+                lambda r: jax.device_get(r[0]),
+                args.iters,
+            ),
+            1,
+        )
+    except Exception as e:
+        out["entropy_sort_ms"] = None
+        out["entropy_sort_error"] = type(e).__name__
+
     if out.get("full_ms") and out.get("no_contra_ms"):
         out["contra_cost_ms"] = round(out["full_ms"] - out["no_contra_ms"], 1)
     if out.get("full_ms") and out.get("no_aug_ms"):

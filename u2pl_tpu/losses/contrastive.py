@@ -140,8 +140,14 @@ def compute_contra_memobank_loss(
     low_valid_f = low_valid.reshape(n, num_classes) > 0
     high_valid_f = high_valid.reshape(n, num_classes) > 0
     onehot_f = onehot.reshape(n, num_classes)
-    rep_f = rep.reshape(n, feat).astype(jnp.float32)
-    rep_t_f = rep_teacher.reshape(n, feat).astype(jnp.float32)
+    # reps stay in their native dtype through the big (N, F) reshapes and
+    # gathers — under bf16 model dtype an f32 upcast here would double the
+    # HBM traffic of the two largest tensors in the loss (~136 MB each at
+    # os4/256f) without adding information (the values are bf16-computed).
+    # Everything small (anchors, prototypes, logits) is accumulated/upcast
+    # to f32 below; f32 configs are bit-unchanged.
+    rep_f = rep.reshape(n, feat)
+    rep_t_f = rep_teacher.reshape(n, feat)
     is_labeled = (
         jnp.repeat(jnp.arange(b) < num_labeled, h * w)
         if num_labeled < b
@@ -162,9 +168,12 @@ def compute_contra_memobank_loss(
     valid_seg = class_valid.sum()
 
     # class prototypes: masked mean of teacher reps over low-valid pixels
-    # (:119-123); one (C,N)x(N,F) matmul on the MXU
-    proto = (
-        low_valid_f.T.astype(jnp.float32) @ rep_t_f
+    # (:119-123); one (C,N)x(N,F) matmul on the MXU with f32 accumulation
+    # (bf16 inputs would otherwise round a ~10^5-term sum)
+    proto = jnp.matmul(
+        low_valid_f.T.astype(rep_t_f.dtype),
+        rep_t_f,
+        preferred_element_type=jnp.float32,
     ) / jnp.maximum(n_low_valid[:, None].astype(jnp.float32), 1.0)  # (C, F)
 
     # --- enqueue negative keys (reference :142-150 / utils.py:27-47) ---
@@ -172,10 +181,11 @@ def compute_contra_memobank_loss(
     sel_idx, sel_valid = jax.vmap(
         lambda m, k: _select_keys(m, k, cfg.max_keys_per_class_per_step)
     )(negative_mask.T, jax.random.split(kkey, num_classes))
-    new_keys = rep_t_f[sel_idx]  # (C, K, F)
+    new_keys = rep_t_f[sel_idx]  # (C, K, F) native dtype; bank casts on write
     if axis_name is not None:
         # one fused fixed-shape exchange over ICI replaces per-class
-        # pickle all_gather_object round-trips
+        # pickle all_gather_object round-trips; under bf16 the slab crosses
+        # ICI at half the f32 byte count
         new_keys = jax.lax.all_gather(new_keys, axis_name, axis=1)  # (C,W,K,F)
         sel_valid = jax.lax.all_gather(sel_valid, axis_name, axis=1)
         new_keys = new_keys.reshape(num_classes, -1, feat)
@@ -193,7 +203,7 @@ def compute_contra_memobank_loss(
     anchor_idx, n_anchor = jax.vmap(
         lambda m, k: _sample_with_replacement(m, k, q)
     )(anchor_mask.T[a_j], jax.random.split(akey, num_classes))
-    anchor_feat = rep_f[anchor_idx]  # (C, Q, F), grads flow
+    anchor_feat = rep_f[anchor_idx].astype(jnp.float32)  # (C, Q, F), grads flow
 
     negs, bank_nonempty_all = sample(bank, nkey, q * num_neg)  # (C, Q*neg, F)
     negs = negs[b_j].reshape(num_classes, q, num_neg, feat)

@@ -324,9 +324,16 @@ def make_semi_step(
             mutable=["batch_stats"],
             rngs={"dropout": k_tdrop},
         )
-        pred_all_teacher = jax.lax.stop_gradient(t_out["pred"]).astype(jnp.float32)
-        rep_all_teacher = jax.lax.stop_gradient(t_out["rep"]).astype(jnp.float32)
-        prob_all_teacher = jax.nn.softmax(pred_all_teacher, axis=-1)
+        # Teacher outputs stay in MODEL dtype: under bf16 they were computed
+        # in bf16 anyway, so a full-resolution f32 upcast adds no information
+        # — only HBM traffic (pred 14 MB, rep 68 MB at os4).  Consumers that
+        # reduce (softmax, entropy, contrastive accumulations) upcast
+        # element-wise, which XLA fuses; f32 configs are bit-unchanged.
+        pred_all_teacher = jax.lax.stop_gradient(t_out["pred"])
+        rep_all_teacher = jax.lax.stop_gradient(t_out["rep"])
+        prob_all_teacher = jax.nn.softmax(
+            pred_all_teacher.astype(jnp.float32), axis=-1
+        )
         prob_l_teacher = prob_all_teacher[:b_l]
         prob_u_teacher = prob_all_teacher[b_l:]
         pred_u_large_teacher = _upsample(pred_all_teacher[b_l:], hw)
@@ -370,11 +377,16 @@ def make_semi_step(
             small_hw = (pred_all_teacher.shape[1], pred_all_teacher.shape[2])
             low_mask_small = resize_nearest(low_mask_all, small_hw)
             high_mask_small = resize_nearest(high_mask_all, small_hw)
-            label_l_small = resize_nearest(
-                label_onehot(label_l, num_classes, ignore_label), small_hw
+            # one-hot AFTER the nearest resize: nearest is a pure index
+            # gather, so onehot(resize(x)) == resize(onehot(x)) exactly —
+            # skips materializing two (B, H, W, C) f32 one-hots (~88 MB
+            # each at 513²/21c) that the reference builds at full res
+            # (train_semi.py:427-437)
+            label_l_small = label_onehot(
+                resize_nearest(label_l, small_hw), num_classes, ignore_label
             )
-            label_u_small = resize_nearest(
-                label_onehot(label_u_aug, num_classes, ignore_label), small_hw
+            label_u_small = label_onehot(
+                resize_nearest(label_u_aug, small_hw), num_classes, ignore_label
             )
             contra_prep = (
                 label_l_small,
@@ -415,7 +427,7 @@ def make_semi_step(
             if contra_cfg is not None:
                 label_l_small, label_u_small, low_m, high_m = contra_prep
                 res = compute_contra_memobank_loss(
-                    rep_all.astype(jnp.float32),
+                    rep_all,
                     label_l_small,
                     label_u_small,
                     prob_l_teacher,

@@ -47,3 +47,38 @@ def test_valid_mask_compaction_preserves_order():
     bank = enqueue(bank, jnp.asarray(keys[None]), jnp.asarray(valid[None]))
     np.testing.assert_array_equal(np.asarray(bank.keys[0, :4, 0]), [1, 3, 4, 7])
     assert int(bank.occupancy[0]) == 4
+
+
+def test_enqueue_segments_matches_general_enqueue():
+    """The scatter-free segment path (used by the train step) must equal
+    the general enqueue on prefix-compact slabs — including multi-device
+    segments and wrap-over past the queue size."""
+    from u2pl_tpu.memobank import enqueue_segments
+
+    rng = np.random.RandomState(0)
+    C, W, K, F = 3, 4, 16, 5
+    for trial in range(6):
+        qsize = [7, 40, 13][trial % 3]
+        bank_a = init_memobank(C, F, queue_size=qsize, class0_size=qsize + 4,
+                               dtype=jnp.float32)
+        # pre-fill with a first slab so ptr/occ are non-trivial
+        pre = rng.randn(C, 1, K, F).astype(np.float32)
+        pre_n = rng.randint(0, K + 1, (C, 1))
+        slab = rng.randn(C, W, K, F).astype(np.float32)
+        n = rng.randint(0, K + 1, (C, W))
+
+        bank_b = bank_a
+        for keys4, counts in [(pre, pre_n), (slab, n)]:
+            bank_a = enqueue_segments(bank_a, jnp.asarray(keys4),
+                                      jnp.asarray(counts))
+            flat = jnp.asarray(keys4.reshape(C, -1, F))
+            valid = np.zeros((C, keys4.shape[1] * K), bool)
+            for c in range(C):
+                for w in range(keys4.shape[1]):
+                    valid[c, w * K: w * K + counts[c, w]] = True
+            bank_b = enqueue(bank_b, flat, jnp.asarray(valid))
+
+        np.testing.assert_array_equal(np.asarray(bank_a.ptr), np.asarray(bank_b.ptr))
+        np.testing.assert_array_equal(np.asarray(bank_a.occupancy),
+                                      np.asarray(bank_b.occupancy))
+        np.testing.assert_allclose(np.asarray(bank_a.keys), np.asarray(bank_b.keys))

@@ -38,15 +38,20 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def time_fn(fn, sync, iters=10, warm=3):
-    r = fn()
+def time_fn(fn, sync, iters=10, warm=3, carry=None):
+    """Time `fn(carry) -> carry`, syncing on the final carry only.  The
+    carry MUST be threaded (not reused): the train steps donate their
+    state buffers, so calling twice with the same state is an
+    INVALID_ARGUMENT on real TPU (donation is a no-op on CPU, which is why
+    a naive re-call loop passes there)."""
+    r = fn(carry)
     sync(r)
     for _ in range(warm - 1):
-        r = fn()
+        r = fn(r)
     sync(r)
     t0 = time.perf_counter()
     for _ in range(iters):
-        r = fn()
+        r = fn(r)
     sync(r)
     return (time.perf_counter() - t0) / iters * 1e3
 
@@ -129,9 +134,9 @@ def main():
     for name, vcfg in variants.items():
         try:
             step = make_semi_step(vcfg, model, tx, 100, mesh)
-            st = new_state()
 
-            def run(step=step, st=st):
+            def run(carry, step=step):
+                st = carry[0] if carry is not None else new_state()
                 return step(st, img_l, lab_l, img_u, key)
 
             out[name + "_ms"] = round(time_fn(run, sync_state, args.iters), 1)
@@ -142,14 +147,13 @@ def main():
 
     try:
         warm_step = make_semi_warmup_step(cfg, model, tx, 100, mesh)
-        st = new_state()
+
+        def run_warm(carry):
+            st = carry[0] if carry is not None else new_state()
+            return warm_step(st, img_l, lab_l, img_u, key)
+
         out["warmup_ms"] = round(
-            time_fn(
-                lambda: warm_step(st, img_l, lab_l, img_u, key),
-                sync_state,
-                args.iters,
-            ),
-            1,
+            time_fn(run_warm, sync_state, args.iters), 1
         )
     except Exception as e:
         out["warmup_ms"] = None
@@ -174,7 +178,7 @@ def main():
     try:
         out["teacher_fwd_ms"] = round(
             time_fn(
-                lambda: teacher_fwd(img_u),
+                lambda _: teacher_fwd(img_u),
                 lambda r: jax.device_get(r[0]),
                 args.iters,
             ),
@@ -207,7 +211,7 @@ def main():
     try:
         out["student_fwd_bwd_ms"] = round(
             time_fn(
-                lambda: student_fwd_bwd(st.params, img_all, lab_l),
+                lambda _: student_fwd_bwd(st.params, img_all, lab_l),
                 lambda r: jax.device_get(jax.tree_util.tree_leaves(r)[0]),
                 args.iters,
             ),
@@ -234,7 +238,7 @@ def main():
     try:
         out["entropy_sort_ms"] = round(
             time_fn(
-                lambda: entropy_sort(ent, lab_l[: args.batch]),
+                lambda _: entropy_sort(ent, lab_l[: args.batch]),
                 lambda r: jax.device_get(r[0]),
                 args.iters,
             ),

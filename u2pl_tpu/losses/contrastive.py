@@ -43,7 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from u2pl_tpu.config import ContrastiveCfg
-from u2pl_tpu.memobank import MemoryBank, enqueue, sample
+from u2pl_tpu.memobank import MemoryBank, enqueue_segments, sample
 
 
 def _ranks_desc(prob: jax.Array) -> jax.Array:
@@ -182,15 +182,20 @@ def compute_contra_memobank_loss(
         lambda m, k: _select_keys(m, k, cfg.max_keys_per_class_per_step)
     )(negative_mask.T, jax.random.split(kkey, num_classes))
     new_keys = rep_t_f[sel_idx]  # (C, K, F) native dtype; bank casts on write
+    # _select_keys emits prefix-compact slabs, so only the per-class COUNT
+    # crosses ICI alongside the keys (not a (C, K) bool mask), and the
+    # bank update takes the scatter-free segment path (memobank.py)
+    n_sel = sel_valid.sum(axis=-1).astype(jnp.int32)  # (C,)
     if axis_name is not None:
         # one fused fixed-shape exchange over ICI replaces per-class
         # pickle all_gather_object round-trips; under bf16 the slab crosses
         # ICI at half the f32 byte count
         new_keys = jax.lax.all_gather(new_keys, axis_name, axis=1)  # (C,W,K,F)
-        sel_valid = jax.lax.all_gather(sel_valid, axis_name, axis=1)
-        new_keys = new_keys.reshape(num_classes, -1, feat)
-        sel_valid = sel_valid.reshape(num_classes, -1)
-    bank = enqueue(bank, new_keys, sel_valid)
+        n_sel = jax.lax.all_gather(n_sel, axis_name, axis=1)  # (C, W)
+    else:
+        new_keys = new_keys[:, None]
+        n_sel = n_sel[:, None]
+    bank = enqueue_segments(bank, new_keys, n_sel)
 
     # --- per-position sampling (reference :173-230) ---
     # position j: anchors/proto of class a_j, bank/negatives of class b_j
@@ -205,7 +210,9 @@ def compute_contra_memobank_loss(
     )(anchor_mask.T[a_j], jax.random.split(akey, num_classes))
     anchor_feat = rep_f[anchor_idx].astype(jnp.float32)  # (C, Q, F), grads flow
 
-    negs, bank_nonempty_all = sample(bank, nkey, q * num_neg)  # (C, Q*neg, F)
+    # native-dtype sampling: a bf16 bank's keys cross HBM at half the f32
+    # byte count; the cosine logits below upcast in the f32 accumulator
+    negs, bank_nonempty_all = sample(bank, nkey, q * num_neg, dtype=None)
     negs = negs[b_j].reshape(num_classes, q, num_neg, feat)
     bank_nonempty = bank_nonempty_all[b_j]
 
@@ -238,16 +245,55 @@ def compute_contra_memobank_loss(
             jnp.where(write, blended, new_prototype[b_j])
         )
 
-    all_feat = jnp.concatenate([pos_feat, negs], axis=2)  # (C, Q, 1+neg, F)
-
-    # cosine similarity (torch eps 1e-8) / temperature, CE to index 0
-    a_n = anchor_feat / jnp.maximum(
-        jnp.linalg.norm(anchor_feat, axis=-1, keepdims=True), 1e-8
-    )
-    f_n = all_feat / jnp.maximum(
-        jnp.linalg.norm(all_feat, axis=-1, keepdims=True), 1e-8
-    )
-    logits = jnp.einsum("cqf,cqkf->cqk", a_n, f_n) / cfg.temperature
+    # cosine similarity (torch eps 1e-8) / temperature, CE to index 0:
+    # cos = dot(a, f) / (max(|a|, eps) * max(|f|, eps))
+    if negs.dtype == jnp.bfloat16 and rep.dtype == jnp.bfloat16:
+        # bf16 MXU path, dot-first: the anchor cast is lossless (anchors
+        # are gathered from the bf16 rep), bf16 products are exact in the
+        # f32 accumulator, and the (C, Q, neg, F) negatives never
+        # materialize in f32 (saves ~0.5 GB of HBM round-trips/step at the
+        # flagship shape).  Only f32 configs keep the normalize-then-dot
+        # order, so their numerics are bit-unchanged.
+        a_norm = jnp.maximum(
+            jnp.linalg.norm(anchor_feat, axis=-1, keepdims=True), 1e-8
+        )  # (C, Q, 1)
+        dot_neg = jnp.einsum(
+            "cqf,cqkf->cqk",
+            anchor_feat.astype(jnp.bfloat16),
+            negs,
+            preferred_element_type=jnp.float32,
+        )
+        neg_norm = jnp.maximum(
+            jnp.sqrt(
+                jnp.einsum(
+                    "cqkf,cqkf->cqk",
+                    negs,
+                    negs,
+                    preferred_element_type=jnp.float32,
+                )
+            ),
+            1e-8,
+        )
+        dot_pos = jnp.einsum("cqf,cqkf->cqk", anchor_feat, pos_feat)
+        pos_norm = jnp.maximum(
+            jnp.linalg.norm(pos_feat, axis=-1), 1e-8
+        )  # (C, Q, 1)
+        logits = (
+            jnp.concatenate([dot_pos / pos_norm, dot_neg / neg_norm], axis=-1)
+            / a_norm
+            / cfg.temperature
+        )
+    else:
+        all_feat = jnp.concatenate(
+            [pos_feat, negs.astype(jnp.float32)], axis=2
+        )  # (C, Q, 1+neg, F)
+        a_n = anchor_feat / jnp.maximum(
+            jnp.linalg.norm(anchor_feat, axis=-1, keepdims=True), 1e-8
+        )
+        f_n = all_feat / jnp.maximum(
+            jnp.linalg.norm(all_feat, axis=-1, keepdims=True), 1e-8
+        )
+        logits = jnp.einsum("cqf,cqkf->cqk", a_n, f_n) / cfg.temperature
     ce = -jax.nn.log_softmax(logits, axis=-1)[..., 0].mean(axis=-1)  # (C,)
 
     loss = jnp.where(active, ce, 0.0).sum() / jnp.maximum(

@@ -83,17 +83,44 @@ def enqueue(bank: MemoryBank, new_keys: jax.Array, valid: jax.Array) -> MemoryBa
     return MemoryBank(keys, ptr, occ, bank.sizes)
 
 
+def enqueue_segments(
+    bank: MemoryBank, new_keys: jax.Array, n: jax.Array
+) -> MemoryBank:
+    """Enqueue entry point for the train step: new_keys (C, W, K, feat)
+    holds one prefix-compact slab per device (what `_select_keys` emits,
+    one row of the cross-replica all_gather each); n (C, W) the per-slab
+    key counts.  Only the (C, W) COUNT crosses ICI alongside the keys — the
+    (C, W*K) bool validity mask the general `enqueue` needs is rebuilt
+    locally here for free.
+
+    The local write stays the `.at[idx].set` ring scatter of `enqueue`:
+    a scatter-free "every bank row gathers the slab row that lands on it"
+    streaming rewrite was measured 4x SLOWER at flagship shapes (19.6 ms vs
+    5.0 ms net, tools/micro_piece_bench.py on v5e) — the scatter touches
+    only the K incoming rows while the rewrite streams the full 30k-row
+    queue through a row gather."""
+    c, w, k, f = new_keys.shape
+    valid = (
+        jnp.arange(k, dtype=jnp.int32)[None, None, :]
+        < jnp.minimum(n.astype(jnp.int32), k)[:, :, None]
+    )
+    return enqueue(bank, new_keys.reshape(c, w * k, f), valid.reshape(c, w * k))
+
+
 def sample(
-    bank: MemoryBank, rng: jax.Array, num_samples: int
+    bank: MemoryBank, rng: jax.Array, num_samples: int, dtype=jnp.float32
 ) -> Tuple[jax.Array, jax.Array]:
     """Uniform with-replacement sample of `num_samples` keys per class
     (reference randint over the queue, loss_helper.py:194-197).
 
-    Returns (samples (C, num_samples, feat) float32, valid (C,) bool —
-    False where a class queue is empty)."""
+    Returns (samples (C, num_samples, feat) in `dtype` (None = the bank's
+    storage dtype), valid (C,) bool — False where a class queue is empty).
+    """
     c = bank.keys.shape[0]
     u = jax.random.uniform(rng, (c, num_samples))
     occ = jnp.maximum(bank.occupancy, 1)
     idx = jnp.floor(u * occ[:, None]).astype(jnp.int32)
     samples = jnp.take_along_axis(bank.keys, idx[:, :, None], axis=1)
-    return samples.astype(jnp.float32), bank.occupancy > 0
+    if dtype is not None:
+        samples = samples.astype(dtype)
+    return samples, bank.occupancy > 0

@@ -82,3 +82,30 @@ def test_enqueue_segments_matches_general_enqueue():
         np.testing.assert_array_equal(np.asarray(bank_a.occupancy),
                                       np.asarray(bank_b.occupancy))
         np.testing.assert_allclose(np.asarray(bank_a.keys), np.asarray(bank_b.keys))
+
+
+def test_overfull_single_enqueue_keeps_newest_size_keys():
+    """Enqueueing more keys than the queue size in ONE call (multi-chip:
+    W x 8192-cap slabs vs a 30k queue) must keep exactly the newest `size`
+    keys in ring order — scatter indices are de-duplicated to the newest
+    rank, because XLA scatter order with duplicate indices is undefined
+    (reference append-then-trim, utils.py:27-47)."""
+    C, F, qsize = 2, 3, 5
+    bank = init_memobank(C, F, queue_size=qsize, class0_size=qsize, dtype=jnp.float32)
+    # advance ptr to 2 with an initial partial write
+    first = jnp.arange(C * 2 * F, dtype=jnp.float32).reshape(C, 2, F)
+    bank = enqueue(bank, first, jnp.ones((C, 2), bool))
+    assert int(bank.ptr[0]) == 2
+
+    n = 12  # > 2 * qsize, two full wraps
+    keys = (100 + jnp.arange(C * n * F, dtype=jnp.float32)).reshape(C, n, F)
+    bank = enqueue(bank, keys, jnp.ones((C, n), bool))
+
+    np.testing.assert_array_equal(np.asarray(bank.occupancy), [qsize, qsize])
+    np.testing.assert_array_equal(np.asarray(bank.ptr), [(2 + n) % qsize] * C)
+    for c in range(C):
+        for r in range(n - qsize, n):  # the newest qsize ranks
+            pos = (2 + r) % qsize
+            np.testing.assert_array_equal(
+                np.asarray(bank.keys[c, pos]), np.asarray(keys[c, r])
+            )

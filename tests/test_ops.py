@@ -120,3 +120,34 @@ def test_label_onehot():
     np.testing.assert_array_equal(oh[0, 0, 1], [0, 1, 0])
     np.testing.assert_array_equal(oh[0, 1, 0], [0, 0, 0])  # ignore -> zeros
     np.testing.assert_array_equal(oh[0, 1, 1], [0, 0, 1])
+
+
+@pytest.mark.parametrize("ch", [64, 256])
+def test_bilinear_bf16_wide_path_close_to_f32(ch):
+    """Wide bf16 inputs take the bf16 MXU path (ops/resize.py); its only
+    deviation from the f32 path is the bf16 rounding of the separable
+    intermediate between the two passes, so outputs must agree to ~1 bf16
+    ulp of the f32-path result computed on the same bf16 input."""
+    rng = np.random.RandomState(0)
+    x16 = jnp.asarray(rng.randn(2, 129, 129, ch), jnp.bfloat16)
+    out16 = resize_bilinear(x16, (513, 513), True)
+    assert out16.dtype == jnp.bfloat16
+    ref = resize_bilinear(x16.astype(jnp.float32), (513, 513), True)
+    np.testing.assert_allclose(
+        np.asarray(out16, np.float32), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_bilinear_bf16_narrow_keeps_f32_path_bits():
+    """Narrow (<64-channel) bf16 inputs must keep the f32 path bit-exactly
+    (the logit upsamples measured slower on the bf16 path and are
+    percentile-gate-sensitive)."""
+    rng = np.random.RandomState(1)
+    x16 = jnp.asarray(rng.randn(2, 129, 129, 21), jnp.bfloat16)
+    out = resize_bilinear(x16, (513, 513), True)
+    ref = resize_bilinear(x16.astype(jnp.float32), (513, 513), True).astype(
+        jnp.bfloat16
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32)
+    )

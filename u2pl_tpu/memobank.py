@@ -61,8 +61,14 @@ def _enqueue_one(
     validi = valid.astype(jnp.int32)
     n_new = validi.sum()
     rank = jnp.cumsum(validi) - 1
-    # invalid rows scatter out-of-bounds and are dropped
-    idx = jnp.where(valid, (ptr + rank) % size, cap)
+    # When one call enqueues more than `size` keys (possible multi-chip:
+    # W devices x 8192-cap slabs vs a 30k queue), ring positions would
+    # collide and XLA scatter order with duplicate indices is UNDEFINED.
+    # Keep only the newest `size` ranks — indices become unique and the
+    # reference's append-then-keep-newest semantics (utils.py:27-47) hold
+    # exactly; invalid/dropped rows scatter out-of-bounds.
+    keep = valid & (rank >= n_new - size)
+    idx = jnp.where(keep, (ptr + rank) % size, cap)
     keys = keys.at[idx].set(new_keys.astype(keys.dtype), mode="drop")
     ptr = (ptr + n_new) % size
     occ = jnp.minimum(occ + n_new, size)

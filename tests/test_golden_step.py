@@ -228,14 +228,16 @@ def _patch_ours_deterministic(mp):
         valid = jnp.arange(k) < jnp.minimum(mask.sum(), k)
         return idx, valid
 
-    def det_bank_sample(bank: MemoryBank, rng, num_samples):
+    def det_bank_sample(bank: MemoryBank, rng, num_samples, dtype=jnp.float32):
         c = bank.keys.shape[0]
         occ = jnp.maximum(bank.occupancy, 1)
         idx = (
             jnp.arange(num_samples, dtype=jnp.int32)[None, :] % occ[:, None]
         )
         samples = jnp.take_along_axis(bank.keys, idx[:, :, None], axis=1)
-        return samples.astype(jnp.float32), bank.occupancy > 0
+        if dtype is not None:
+            samples = samples.astype(dtype)
+        return samples, bank.occupancy > 0
 
     mp.setattr(con, "_sample_with_replacement", det_sample_with_replacement)
     mp.setattr(con, "_select_keys", det_select_keys)

@@ -268,6 +268,26 @@ def _ref_contra(ref, cfg, rep, label_l, label_u, prob_l, prob_u, low_m, high_m,
     return float(loss.item()), memobank
 
 
+def test_ranks_desc_matches_stable_sort():
+    """The compare-count rank lowering must equal torch.sort(descending)
+    positions (i.e. a stable double argsort), including on exact ties —
+    reference loss_helper.py:91-97 consumes these ranks for the negative
+    class-window masks."""
+    import jax.numpy as jnp
+
+    from u2pl_tpu.losses.contrastive import _ranks_desc
+
+    rng = np.random.RandomState(11)
+    p = rng.rand(257, 21).astype(np.float32)
+    # force ties: quantize a block, duplicate some columns
+    p[:100] = np.round(p[:100] * 4) / 4
+    p[:, 7] = p[:, 3]
+    p[:, 20] = p[:, 0]
+    want = np.argsort(np.argsort(-p, axis=-1, kind="stable"), axis=-1, kind="stable")
+    got = np.asarray(_ranks_desc(jnp.asarray(p)))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_contrastive_deterministic_case(ref):
     """One anchor candidate + one bank key per class => sampling is
     deterministic; values must match the reference exactly."""

@@ -22,7 +22,14 @@ import numpy as np
 
 from u2pl_tpu.config import head_lr_multiplier, load_config
 from u2pl_tpu.data import build_loaders
-from u2pl_tpu.dist import initialize_distributed, make_mesh, process_is_primary
+from u2pl_tpu.dist import (
+    initialize_distributed,
+    local_view,
+    make_mesh,
+    process_is_primary,
+    replicate_to_mesh,
+    shard_host_batch,
+)
 from u2pl_tpu.memobank import init_memobank
 from u2pl_tpu.models import build_model
 from u2pl_tpu.train.optim import make_optimizer
@@ -138,9 +145,16 @@ def main():
     if resumed is not None:
         state = resumed
 
+    # multi-host: the state (bitwise identical on every process — same seed,
+    # same checkpoint) and the step RNG must enter the global-mesh jit as
+    # fully-replicated global arrays; single-process this is a no-op
+    # (reference relies on DDP broadcasting rank-0 params instead,
+    # dist_helper.py:13-46)
+    state = replicate_to_mesh(mesh, state)
+    step_rng = replicate_to_mesh(mesh, jax.random.PRNGKey(args.seed + 1))
+
     warmup_step = make_semi_warmup_step(cfg, model, tx, steps_per_epoch, mesh)
     semi_step = make_semi_step(cfg, model, tx, steps_per_epoch, mesh)
-    step_rng = jax.random.PRNGKey(args.seed + 1)
 
     sup_only_epoch = cfg.trainer.sup_only_epoch
     for epoch in range(last_epoch, cfg.trainer.epochs):
@@ -162,7 +176,7 @@ def main():
             if pending is None or not rank0:
                 return
             pi, pm = pending
-            pm = jax.device_get(pm)
+            pm = jax.device_get(local_view(pm))
             sup_losses.update(float(pm["sup_loss"]))
             uns_losses.update(float(pm["uns_loss"]))
             con_losses.update(float(pm["con_loss"]))
@@ -214,9 +228,9 @@ def main():
 
             state, metrics = step_fn(
                 state,
-                jnp.asarray(img_l),
-                jnp.asarray(lab_l),
-                jnp.asarray(img_u),
+                shard_host_batch(mesh, img_l),
+                shard_host_batch(mesh, lab_l),
+                shard_host_batch(mesh, img_u),
                 step_rng,
             )
 
@@ -225,7 +239,7 @@ def main():
 
             if args.profile_dir and i_iter == 13:
                 # sync on a late output so the traced steps are complete
-                jax.device_get(jax.tree_util.tree_leaves(state.params)[0])
+                jax.device_get(local_view(jax.tree_util.tree_leaves(state.params)[0]))
                 jax.profiler.stop_trace()
                 if rank0:
                     logger.info(f"profiler trace written to {args.profile_dir}")

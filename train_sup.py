@@ -18,7 +18,14 @@ import jax.numpy as jnp
 
 from u2pl_tpu.config import head_lr_multiplier, load_config
 from u2pl_tpu.data import build_loaders
-from u2pl_tpu.dist import initialize_distributed, make_mesh, process_is_primary
+from u2pl_tpu.dist import (
+    initialize_distributed,
+    local_view,
+    make_mesh,
+    process_is_primary,
+    replicate_to_mesh,
+    shard_host_batch,
+)
 from u2pl_tpu.models import build_model
 from u2pl_tpu.train.optim import make_optimizer
 from u2pl_tpu.train.state import create_train_state
@@ -95,8 +102,12 @@ def main():
     if resumed is not None:
         state = resumed
 
+    # multi-host: replicate the (process-identical) state and RNG onto the
+    # global mesh before the first jit call; single-process no-op
+    state = replicate_to_mesh(mesh, state)
+    step_rng = replicate_to_mesh(mesh, jax.random.PRNGKey(args.seed + 1))
+
     sup_step = make_sup_step(cfg, model, tx, steps_per_epoch, mesh)
-    step_rng = jax.random.PRNGKey(args.seed + 1)
 
     for epoch in range(last_epoch, cfg.trainer.epochs):
         sup_losses = AverageMeter(10)
@@ -107,10 +118,13 @@ def main():
             data_times.update(t0 - batch_end)
             i_iter = epoch * steps_per_epoch + step
             state, metrics = sup_step(
-                state, jnp.asarray(img), jnp.asarray(lab), step_rng
+                state,
+                shard_host_batch(mesh, img),
+                shard_host_batch(mesh, lab),
+                step_rng,
             )
             if i_iter % 10 == 0 and rank0:
-                m = jax.device_get(metrics)
+                m = jax.device_get(local_view(metrics))
                 sup_losses.update(float(m["sup_loss"]))
                 logger.info(
                     "[{}] Iter [{}/{}]\tData {:.2f} ({:.2f})\t"

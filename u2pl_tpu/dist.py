@@ -18,6 +18,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -101,3 +102,62 @@ def world_size(mesh: Mesh) -> int:
 
 def process_is_primary() -> bool:
     return jax.process_index() == 0
+
+
+def shard_host_batch(mesh: Mesh, x) -> jax.Array:
+    """Per-process host batch slice -> batch-sharded global jax.Array.
+
+    This is the multi-host feed the reference gets implicitly from DDP
+    ("each rank's DataLoader feeds each rank's GPU", dist_helper.py:13-46 +
+    DistributedSampler): each process hands its
+    ``batch_size * local_device_count`` slice (what EpochLoader yields) and
+    gets back ONE global array of shape ``(global_batch, ...)`` sharded
+    P("data") over the whole mesh, which shard_map then splits per device.
+
+    Single-process this is a plain device transfer — jit shards it — so the
+    hot path is unchanged.  Multi-process, host-local arrays cannot cross
+    into a jit over a global mesh (JAX cannot reshard data it cannot
+    address), so the global array is assembled from the process-local
+    shards without any cross-host data movement.
+    """
+    if jax.process_count() == 1:
+        return jnp.asarray(x)
+    return jax.make_array_from_process_local_data(
+        data_sharding(mesh), np.ascontiguousarray(x)
+    )
+
+
+def replicate_to_mesh(mesh: Mesh, tree):
+    """Host-identical pytree -> fully-replicated global arrays on the mesh.
+
+    No-op single-process (jit replicates implicitly).  Multi-process, the
+    train state built on each process (same seed / same checkpoint, so
+    bitwise identical everywhere) is committed to *local* devices and
+    cannot be passed into a jit spanning the global mesh; this re-commits
+    every leaf as a P() (fully replicated) global array using each
+    process's local copy as its shards.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.host_local_array_to_global_array(tree, mesh, P())
+
+
+def local_view(tree):
+    """Per-process view of (possibly) globally-replicated arrays.
+
+    Multi-process train states hold fully-replicated global jax.Arrays,
+    which eager ops, jax.device_get, and single-device jits all reject
+    (the array spans devices this process cannot address).  Every process
+    holds a complete copy of a replicated array, so the local shard IS the
+    value: return it as a plain local device array.  Leaves that are
+    already process-local (the single-process case) pass through untouched.
+    """
+
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x.addressable_data(0)
+        return x
+
+    return jax.tree_util.tree_map(get, tree)

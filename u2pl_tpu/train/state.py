@@ -59,10 +59,14 @@ def create_train_state(
     )
 
 
+# jitted so it also works on multi-process replicated global arrays (eager
+# jnp.copy cannot touch arrays whose devices span other processes); on a
+# single process this is the same aliasing device copy as before
+_copy_params = jax.jit(lambda p: jax.tree_util.tree_map(jnp.copy, p))
+
+
 def copy_student_to_teacher(state: TrainState) -> TrainState:
     """One-time parameter copy at the first semi epoch
     (reference train_semi.py:309-315; parameters only, BN buffers keep the
     running stats the teacher accumulated during warmup dummy forwards)."""
-    return state.replace(
-        teacher_params=jax.tree_util.tree_map(jnp.copy, state.params)
-    )
+    return state.replace(teacher_params=_copy_params(state.params))

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from u2pl_tpu.config import Config
-from u2pl_tpu.dist import all_sum_across_processes
+from u2pl_tpu.dist import all_sum_across_processes, local_view
 from u2pl_tpu.evallib.metrics import intersection_and_union_device
 from u2pl_tpu.ops.resize import resize_bilinear
 
@@ -68,7 +68,11 @@ def validate(
         model, cfg.net.num_classes, cfg.dataset.ignore_label,
         cfg.dataset.mean, cfg.dataset.std,
     )
-    variables = {"params": params, "batch_stats": batch_stats}
+    # multi-host train states hold replicated global arrays; validation is
+    # a per-process computation (each process scores its slice of the val
+    # set, then inter/union sums reduce across processes), so take the
+    # process-local copy.  Single-process no-op.
+    variables = local_view({"params": params, "batch_stats": batch_stats})
     inter_sum, union_sum = accumulate_val_sums(
         val_step, variables, val_loader, epoch, cfg.net.num_classes
     )

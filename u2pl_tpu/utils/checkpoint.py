@@ -29,7 +29,11 @@ CKPT_BEST_NAME = "ckpt_best.ckpt"
 
 
 def _np(tree):
-    return jax.tree_util.tree_map(np.asarray, tree)
+    from u2pl_tpu.dist import local_view
+
+    # local_view: multi-host states hold replicated global arrays whose
+    # device set spans other processes; np.asarray needs the local copy
+    return jax.tree_util.tree_map(np.asarray, local_view(tree))
 
 
 def save_checkpoint(path: str, state: TrainState, epoch: int, best_miou: float,
@@ -37,7 +41,7 @@ def save_checkpoint(path: str, state: TrainState, epoch: int, best_miou: float,
     payload: Dict[str, Any] = {
         "epoch": epoch,
         "best_miou": float(best_miou),
-        "step": int(state.step),
+        "step": int(_np(state.step)),
         "model_state": serialization.to_state_dict(
             {"params": _np(state.params), "batch_stats": _np(state.batch_stats)}
         ),
@@ -53,7 +57,7 @@ def save_checkpoint(path: str, state: TrainState, epoch: int, best_miou: float,
     if state.bank is not None and save_memobank:
         payload["memobank"] = serialization.to_state_dict(_np(state.bank))
     if state.prototype is not None:
-        payload["prototype"] = np.asarray(state.prototype)
+        payload["prototype"] = _np(state.prototype)
     blob = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

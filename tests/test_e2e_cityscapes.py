@@ -11,6 +11,8 @@ import yaml
 
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 HW = 33  # label/crop size
 IMG_H, IMG_W = 40, 72  # non-square, larger than crop -> real crop grid
 C = 6

@@ -13,6 +13,8 @@ import yaml
 
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 HW = 33
 C = 5
 

@@ -9,6 +9,8 @@ import yaml
 
 from PIL import Image
 
+pytestmark = pytest.mark.slow
+
 HW, C = 33, 5
 
 

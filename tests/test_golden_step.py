@@ -33,9 +33,13 @@ import numpy as np
 import pytest
 
 REF = "/root/reference"
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REF, "u2pl")), reason="reference not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "u2pl")),
+        reason="reference not mounted",
+    ),
+]
 
 torch = pytest.importorskip("torch")
 

@@ -23,6 +23,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 CHILD = textwrap.dedent(
     """
     import os, sys

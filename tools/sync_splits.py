@@ -9,35 +9,32 @@ repository free of copied assets, fetch them from a reference checkout:
     python tools/sync_splits.py --source /path/to/U2PL [--dest data/splits]
 
 Default source is /root/reference (the read-only mounted reference).
+The loaders also auto-sync on first use when a configured split list is
+missing (u2pl_tpu/data/splits.py:_maybe_sync_missing_split), honoring
+U2PL_SPLITS_SOURCE; this tool is the explicit/offline variant.
 """
 
 from __future__ import annotations
 
 import argparse
 import os
-import shutil
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from u2pl_tpu.data.splits import sync_split_dir  # noqa: E402
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--source", default="/root/reference")
     ap.add_argument(
-        "--dest", default=os.path.join(os.path.dirname(__file__), "..", "data", "splits")
+        "--dest",
+        default=os.path.join(os.path.dirname(__file__), "..", "data", "splits"),
     )
     args = ap.parse_args()
-    src = os.path.join(args.source, "data", "splits")
-    if not os.path.isdir(src):
-        raise SystemExit(f"no split directory at {src}")
     dest = os.path.abspath(args.dest)
-    n = 0
-    for root, _, files in os.walk(src):
-        rel = os.path.relpath(root, src)
-        out_dir = os.path.join(dest, rel)
-        os.makedirs(out_dir, exist_ok=True)
-        for f in files:
-            if f.endswith(".txt"):
-                shutil.copyfile(os.path.join(root, f), os.path.join(out_dir, f))
-                n += 1
+    n = sync_split_dir(args.source, dest)
     print(f"copied {n} split files to {dest}")
 
 

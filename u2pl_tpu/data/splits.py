@@ -8,12 +8,70 @@ identical labeled subset as the reference.
 
 from __future__ import annotations
 
+import logging
 import math
+import os
 import random
+import shutil
 from typing import List, Tuple
+
+log = logging.getLogger("global")
+
+
+def sync_split_dir(source_root: str, dest_root: str) -> int:
+    """Copy every ``*.txt`` under ``<source_root>/data/splits`` into
+    ``dest_root``, preserving layout.  The split lists (labeled/unlabeled/
+    val image-ID files, reference data/splits/**) are dataset metadata
+    published with the reference repo and deliberately NOT vendored here;
+    this fetches them from a reference checkout.  Returns files copied."""
+    src = os.path.join(source_root, "data", "splits")
+    if not os.path.isdir(src):
+        raise FileNotFoundError(f"no split directory at {src}")
+    n = 0
+    for root, _, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        out_dir = os.path.join(dest_root, rel)
+        os.makedirs(out_dir, exist_ok=True)
+        for f in files:
+            if f.endswith(".txt"):
+                shutil.copyfile(os.path.join(root, f), os.path.join(out_dir, f))
+                n += 1
+    return n
+
+
+def _maybe_sync_missing_split(d_list: str) -> bool:
+    """Auto-populate data/splits/ on first use from a reference checkout
+    (U2PL_SPLITS_SOURCE, default /root/reference) so a fresh clone's
+    train.sh runs out of the box.  Only fires for paths under a
+    ``data/splits`` tree; returns True if the file now exists."""
+    parts = os.path.normpath(os.path.abspath(d_list)).split(os.sep)
+    try:
+        i = len(parts) - 1 - parts[::-1].index("splits")
+    except ValueError:
+        return False
+    if i == 0 or parts[i - 1] != "data":
+        return False
+    dest_root = os.sep.join(parts[: i + 1])
+    source = os.environ.get("U2PL_SPLITS_SOURCE", "/root/reference")
+    if not os.path.isdir(os.path.join(source, "data", "splits")):
+        return False
+    n = sync_split_dir(source, dest_root)
+    log.info(
+        "split list %s was missing; synced %d split files from %s "
+        "(tools/sync_splits.py does the same by hand)", d_list, n, source
+    )
+    return os.path.isfile(d_list)
 
 
 def parse_split(d_list: str) -> List[Tuple[str, str]]:
+    if not os.path.isfile(d_list) and not _maybe_sync_missing_split(d_list):
+        raise FileNotFoundError(
+            f"split list {d_list!r} does not exist. Split lists are dataset "
+            "metadata shipped with the reference U2PL repo (data/splits/**) "
+            "and are not vendored here; run `python tools/sync_splits.py "
+            "--source /path/to/U2PL` (or set U2PL_SPLITS_SOURCE and retry) "
+            "to populate data/splits/."
+        )
     pairs: List[Tuple[str, str]] = []
     if "cityscapes" in d_list:
         for line in open(d_list, "r"):

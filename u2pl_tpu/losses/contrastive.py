@@ -55,7 +55,13 @@ def _ranks_desc(prob: jax.Array) -> jax.Array:
     tie parity, #{c' < c: p[c'] == p[c]}.  The (..., C, C) comparison
     fuses into the reduction (nothing materializes at N*C*C), and at the
     flagship shape (133k x 21) it measures 1.43 ms vs 1.92 ms for the two
-    sorts — identical output on ties by construction (unit-tested)."""
+    sorts — identical output on ties by construction (unit-tested).
+
+    NaN caveat (advisor r3): a NaN probability compares false everywhere,
+    so a NaN class gets rank ~0 here, whereas argsort would sort it last.
+    Reachable only if the softmax upstream already produced NaNs — i.e.
+    training has diverged and every loss is NaN anyway — so rank order of
+    the wreckage is not load-bearing; documented rather than guarded."""
     c = prob.shape[-1]
     gt = prob[..., None, :] > prob[..., :, None]
     eq = prob[..., None, :] == prob[..., :, None]

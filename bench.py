@@ -37,10 +37,16 @@ def main():
     from u2pl_tpu.train.state import copy_student_to_teacher, create_train_state
     from u2pl_tpu.train.steps import make_semi_step
 
-    crop = 513
-    per_chip_batch = int(os.environ.get("U2PL_BENCH_BATCH", "4"))
+    # U2PL_BENCH_CONFIG=cityscapes benches the OTHER headline shape: 769²,
+    # bs2+2/chip, 19 classes, OHEM (min_kept=100000) + aux head — the config
+    # family whose top-k/OHEM lowering must be proven on real hardware
+    # (reference experiments/cityscapes/*/ours/config.yaml)
+    variant = os.environ.get("U2PL_BENCH_CONFIG", "pascal")
+    crop = 769 if variant == "cityscapes" else 513
+    default_b = "2" if variant == "cityscapes" else "4"
+    per_chip_batch = int(os.environ.get("U2PL_BENCH_BATCH", default_b))
     dtype = os.environ.get("U2PL_BENCH_DTYPE", "bfloat16")
-    cfg = _flagship_cfg(crop=crop)
+    cfg = _flagship_cfg(crop=crop, variant=variant)
     cfg = dataclasses.replace(cfg, net=dataclasses.replace(cfg.net, dtype=dtype))
     if os.environ.get("U2PL_BENCH_REMAT"):  # jax.checkpoint residual blocks
         cfg = dataclasses.replace(
@@ -130,7 +136,7 @@ def main():
     # peak -> <= 5.95 img/s/GPU at bs4+4 (BASELINE.md, "Derived throughput
     # denominator"); only comparable at the flagship shape
     ref_ceiling_img_s = 5.95
-    comparable = crop == 513 and per_chip_batch == 4
+    comparable = variant == "pascal" and crop == 513 and per_chip_batch == 4
     vs_baseline = (
         round(img_per_sec_per_chip / ref_ceiling_img_s, 2) if comparable else None
     )
@@ -196,11 +202,14 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "u2pl_semi_train_throughput",
+                "metric": "u2pl_semi_train_throughput"
+                + ("" if variant == "pascal" else f"_{variant}"),
                 "value": round(img_per_sec_per_chip, 3),
                 "unit": (
-                    f"img/s/chip (513px, bs{per_chip_batch}+{per_chip_batch}, "
-                    f"ResNet-101 DeepLabv3+, {dtype})"
+                    f"img/s/chip ({crop}px, bs{per_chip_batch}+{per_chip_batch}, "
+                    f"ResNet-101 DeepLabv3+"
+                    + (", OHEM+aux" if variant == "cityscapes" else "")
+                    + f", {dtype})"
                 ),
                 "vs_baseline": vs_baseline,
                 "step_ms": round(sec_per_step * 1e3, 1),

@@ -1,0 +1,460 @@
+"""Multi-step golden TRAJECTORY parity vs the reference PyTorch trainer.
+
+`test_golden_step.py` proves one semi step and one warmup step match; this
+runs TWO 6-step trajectories (SPE=10, sup_only_epoch=1) through BOTH
+frameworks from converter-synced weights on identical per-step batches and
+compares every step's losses plus the final student params, EMA-teacher
+params, and memory-bank occupancies.  Together they span exactly the
+cross-step machinery single-step parity cannot see (reference
+train_semi.py:272-592):
+
+  * steps 8..13: the warmup -> semi boundary, including the per-step
+    student->teacher copy throughout the first semi epoch and its ALIASING
+    quirk (`t.data = s.data` :309-315 makes optimizer.step() mutate the
+    teacher in place, so the teacher leaves every epoch-1 step equal to
+    the post-step student);
+  * steps 18..23: the epoch-1 -> 2 edge — the annealing change of
+    drop_percent / low_entropy alpha_t, the copy epoch ENDING, and the
+    real EMA decay ramp 1 - 1/(i - SPE + 1) taking over;
+  * both: memory-bank queue carry-over and occupancy growth across steps.
+
+Why two short trajectories instead of one long one: every anchor/negative
+in the contrastive loss is gated by percentile/rank/threshold masks, and
+the memory bank INTEGRATES those discrete choices — one pixel drifting
+across a gate changes a class's queue length by one, which permanently
+shifts the deterministic cyclic sampling alignment for every later step.
+A 14-step single run measured the contrastive term decorrelating to ~17%
+by step 21 while sup stayed at 0.3% and unsup at ~1% (drift chaos, not a
+semantics gap); 6 steps from freshly-synced weights keeps every term
+within small-relative tolerances while still covering both boundaries.
+
+Stochastic elements are pinned exactly as in test_golden_step (module
+docstring there): dropout off, no apply_aug coin, cycling samplers on both
+sides.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(os.path.join(REF, "u2pl")),
+        reason="reference not mounted",
+    ),
+]
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from test_golden_step import (  # noqa: E402
+    C,
+    EPOCHS,
+    HW,
+    QSIZE,
+    SPE,
+    _assert_tree_close,
+    _batch,
+    _flax_state,
+    _make_optimizer_torch,
+    _nchw,
+    _patch_ours_deterministic,
+    _patch_torch_randint,
+    _poly_lr,
+    _raw_cfg,
+    _set_poly_lr,
+    _torch_models,
+)
+
+from u2pl_tpu.config import parse_config  # noqa: E402
+from u2pl_tpu.dist import make_mesh  # noqa: E402
+from u2pl_tpu.models import build_model  # noqa: E402
+from u2pl_tpu.train.optim import make_optimizer  # noqa: E402
+from u2pl_tpu.train.state import copy_student_to_teacher  # noqa: E402
+from u2pl_tpu.train.steps import (  # noqa: E402
+    make_semi_step,
+    make_semi_warmup_step,
+)
+from u2pl_tpu.utils.convert_torch import torch_to_flax  # noqa: E402
+
+SUP_ONLY = 1
+
+
+def _torch_warmup_step(raw, student, teacher, sup_loss_fn, optimizer, batch):
+    """Reference warmup branch (train_semi.py:287-306)."""
+    import torch.nn.functional as F
+
+    img_l_np, lab_l_np, _ = batch
+    image_l, label_l = _nchw(img_l_np), torch.from_numpy(lab_l_np)
+    student.train()
+    outs = student(image_l)
+    pred, rep = outs["pred"], outs["rep"]
+    pred = F.interpolate(pred, (HW, HW), mode="bilinear", align_corners=True)
+    sup_loss = sup_loss_fn(pred, label_l.clone())
+    teacher.train()
+    with torch.no_grad():
+        _ = teacher(image_l)
+    unsup_loss = 0 * rep.sum()
+    contra_loss = 0 * rep.sum()
+    loss = sup_loss + unsup_loss + contra_loss
+    optimizer.zero_grad()
+    loss.backward()
+    optimizer.step()
+    return float(sup_loss), float(unsup_loss), float(contra_loss)
+
+
+def _torch_semi_step(
+    raw, student, teacher, sup_loss_fn, optimizer, bankstate, i_iter, batch
+):
+    """Reference semi branch glue (train_semi.py:308-548), faithfully
+    including the epoch-1 aliasing copy and the post-step EMA."""
+    import torch.nn.functional as F
+
+    import u2pl.utils.loss_helper as lh
+    from u2pl.utils.utils import label_onehot
+
+    memobank, queue_ptrlis, queue_size = bankstate
+    epoch = i_iter // SPE
+    img_l_np, lab_l_np, img_u_np = batch
+    image_l, label_l = _nchw(img_l_np), torch.from_numpy(lab_l_np)
+    image_u = _nchw(img_u_np)
+    h = w = HW
+
+    if epoch == SUP_ONLY:
+        # the reference re-copies EVERY step of this epoch, and `t.data =
+        # s.data` aliases the storages (:309-315)
+        with torch.no_grad():
+            for t_params, s_params in zip(
+                teacher.parameters(), student.parameters()
+            ):
+                t_params.data = s_params.data
+
+    student.train()
+    teacher.eval()
+    with torch.no_grad():
+        pred_u_teacher = teacher(image_u)["pred"]
+        pred_u_teacher = F.interpolate(
+            pred_u_teacher, (h, w), mode="bilinear", align_corners=True
+        )
+        pred_u_teacher = F.softmax(pred_u_teacher, dim=1)
+        logits_u_aug, label_u_aug = torch.max(pred_u_teacher, dim=1)
+    image_u_aug = image_u  # no apply_aug: coin branch skipped (:326-337)
+
+    num_labeled = len(image_l)
+    image_all = torch.cat((image_l, image_u_aug))
+    outs = student(image_all)
+    pred_all, rep_all = outs["pred"], outs["rep"]
+    pred_l_large = F.interpolate(
+        pred_all[:num_labeled], size=(h, w), mode="bilinear", align_corners=True
+    )
+    pred_u_large = F.interpolate(
+        pred_all[num_labeled:], size=(h, w), mode="bilinear", align_corners=True
+    )
+    sup_loss = sup_loss_fn(pred_l_large, label_l.clone())
+
+    teacher.train()
+    with torch.no_grad():
+        out_t = teacher(image_all)
+        pred_all_teacher, rep_all_teacher = out_t["pred"], out_t["rep"]
+        prob_all_teacher = F.softmax(pred_all_teacher, dim=1)
+        prob_l_teacher = prob_all_teacher[:num_labeled]
+        prob_u_teacher = prob_all_teacher[num_labeled:]
+        pred_u_large_teacher = F.interpolate(
+            pred_all_teacher[num_labeled:], size=(h, w), mode="bilinear",
+            align_corners=True,
+        )
+
+    drop_percent = raw["trainer"]["unsupervised"]["drop_percent"]
+    percent_unreliable = (100 - drop_percent) * (1 - epoch / EPOCHS)
+    drop_percent = 100 - percent_unreliable
+    unsup_loss = lh.compute_unsupervised_loss(
+        pred_u_large, label_u_aug.clone(), drop_percent,
+        pred_u_large_teacher.detach(),
+    )
+
+    cfg_contra = raw["trainer"]["contrastive"]
+    alpha_t = cfg_contra["low_entropy_threshold"] * (1 - epoch / EPOCHS)
+    with torch.no_grad():
+        prob = torch.softmax(pred_u_large_teacher, dim=1)
+        entropy = -torch.sum(prob * torch.log(prob + 1e-10), dim=1)
+        low_thresh = np.percentile(
+            entropy[label_u_aug != 255].cpu().numpy().flatten(), alpha_t
+        )
+        low_entropy_mask = (
+            entropy.le(low_thresh).float() * (label_u_aug != 255).bool()
+        )
+        high_thresh = np.percentile(
+            entropy[label_u_aug != 255].cpu().numpy().flatten(), 100 - alpha_t
+        )
+        high_entropy_mask = (
+            entropy.ge(high_thresh).float() * (label_u_aug != 255).bool()
+        )
+        low_mask_all = torch.cat(
+            ((label_l.unsqueeze(1) != 255).float(),
+             low_entropy_mask.unsqueeze(1))
+        )
+        low_mask_all = F.interpolate(
+            low_mask_all, size=pred_all.shape[2:], mode="nearest"
+        )
+        high_mask_all = torch.cat(
+            ((label_l.unsqueeze(1) != 255).float(),
+             high_entropy_mask.unsqueeze(1))
+        )
+        high_mask_all = F.interpolate(
+            high_mask_all, size=pred_all.shape[2:], mode="nearest"
+        )
+        label_l_small = F.interpolate(
+            label_onehot(label_l, C), size=pred_all.shape[2:], mode="nearest"
+        )
+        label_u_small = F.interpolate(
+            label_onehot(label_u_aug, C), size=pred_all.shape[2:],
+            mode="nearest",
+        )
+
+    with pytest.MonkeyPatch.context() as mp:
+        _patch_torch_randint(mp)
+        _, contra_loss = lh.compute_contra_memobank_loss(
+            rep_all,
+            label_l_small.long(),
+            label_u_small.long(),
+            prob_l_teacher.detach(),
+            prob_u_teacher.detach(),
+            low_mask_all,
+            high_mask_all,
+            cfg_contra,
+            memobank,
+            queue_ptrlis,
+            queue_size,
+            rep_all_teacher.detach(),
+        )
+
+    loss = sup_loss + unsup_loss + contra_loss
+    optimizer.zero_grad()
+    loss.backward()
+    optimizer.step()
+
+    if i_iter // SPE >= SUP_ONLY:
+        with torch.no_grad():
+            ema_decay = min(1 - 1 / (i_iter - SPE * SUP_ONLY + 1), 0.99)
+            for t_params, s_params in zip(
+                teacher.parameters(), student.parameters()
+            ):
+                t_params.data = (
+                    ema_decay * t_params.data
+                    + (1 - ema_decay) * s_params.data
+                )
+    return float(sup_loss), float(unsup_loss), float(contra_loss)
+
+
+@pytest.mark.parametrize(
+    "start,stop",
+    [(8, 14), (18, 24)],
+    ids=["warmup_to_semi", "epoch_edge_ema_ramp"],
+)
+def test_trajectory_golden(start, stop):
+    raw, student, teacher = _torch_models()
+    # randomly-initialised teachers emit near-uniform probabilities
+    # (~1/C = 0.2), so the default anchor threshold delta_p=0.3 sits on a
+    # knife edge: a single pixel drifting across 0.3 flips a class between
+    # "has anchors" and "skipped" and the two frameworks' conv noise WILL
+    # disagree there after a few steps (observed at step 12: torch 0.0 vs
+    # ours 0.298).  Drop delta_p so anchor masks are dense and the
+    # trajectory compares continuous values, not boundary luck.
+    raw["trainer"]["contrastive"]["current_class_threshold"] = 0.05
+    cfg = parse_config(raw)
+    model = build_model(cfg.net, axis_name="data")
+    dummy = build_model(cfg.net, axis_name=None)
+    variables = dummy.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, HW, HW, 3)), train=False
+    )
+    tx = make_optimizer(
+        cfg.trainer.optimizer, variables["params"], head_lr_multiplier=10.0
+    )
+
+    import u2pl.utils.loss_helper as lh
+
+    sup_loss_fn = lh.get_criterion(raw)
+    optimizer = _make_optimizer_torch(raw, student)
+
+    batches = {i: _batch(1000 + i) for i in range(start, stop)}
+
+    # ---------------- our side: the exact driver dispatch -----------------
+    our_losses = {}
+    teacher_expected = None  # host EMA fold over our own student snapshots
+    with pytest.MonkeyPatch.context() as mp:
+        _patch_ours_deterministic(mp)
+        state = _flax_state(cfg, dummy, tx, student, teacher, start)
+        mesh = make_mesh(1)
+        warmup_step = make_semi_warmup_step(cfg, model, tx, SPE, mesh)
+        semi_step = make_semi_step(cfg, model, tx, SPE, mesh)
+        for i in range(start, stop):
+            epoch = i // SPE
+            img_l, lab_l, img_u = batches[i]
+            step_fn = warmup_step if epoch < SUP_ONLY else semi_step
+            if epoch == SUP_ONLY:
+                state = copy_student_to_teacher(state)
+            state, metrics = step_fn(
+                state,
+                jnp.asarray(img_l),
+                jnp.asarray(lab_l.astype(np.int32)),
+                jnp.asarray(img_u),
+                jax.random.PRNGKey(0),
+            )
+            m = jax.device_get(metrics)
+            our_losses[i] = (
+                float(m["sup_loss"]), float(m["uns_loss"]),
+                float(m["con_loss"]),
+            )
+            np.testing.assert_allclose(
+                float(m["lr"]), _poly_lr(i), rtol=1e-6, err_msg=f"lr@{i}"
+            )
+            # fold the reference EMA recurrence over OUR OWN post-step
+            # student params: during the copy epoch the effective decay is
+            # 0 (the reference aliasing quirk, steps.py), past it the ramp
+            # min(1 - 1/(i - SPE + 1), 0.99) takes over; warmup steps leave
+            # teacher params untouched
+            if epoch >= SUP_ONLY:
+                snap = jax.device_get(state.params)
+                decay = (
+                    0.0 if epoch == SUP_ONLY
+                    else min(1.0 - 1.0 / (i - SPE * SUP_ONLY + 1), 0.99)
+                )
+                if teacher_expected is None or decay == 0.0:
+                    teacher_expected = snap
+                else:
+                    teacher_expected = jax.tree_util.tree_map(
+                        lambda t, s: decay * np.asarray(t, np.float64)
+                        + (1.0 - decay) * np.asarray(s, np.float64),
+                        teacher_expected, snap,
+                    )
+        final_state = jax.device_get(state)
+
+    # ---------------- torch side: the reference loop ----------------------
+    memobank, queue_ptrlis, queue_size = [], [], []
+    for _ in range(C):
+        memobank.append([torch.zeros(0, 256)])
+        queue_ptrlis.append(torch.zeros(1, dtype=torch.long))
+        queue_size.append(QSIZE)
+    bankstate = (memobank, queue_ptrlis, queue_size)
+
+    params_start = {k: v.detach().clone() for k, v in student.state_dict().items()}
+    ref_losses = {}
+    for i in range(start, stop):
+        _set_poly_lr(optimizer, i)
+        epoch = i // SPE
+        if epoch < SUP_ONLY:
+            ref_losses[i] = _torch_warmup_step(
+                raw, student, teacher, sup_loss_fn, optimizer, batches[i]
+            )
+        else:
+            ref_losses[i] = _torch_semi_step(
+                raw, student, teacher, sup_loss_fn, optimizer, bankstate, i,
+                batches[i],
+            )
+
+    # ---------------- compare --------------------------------------------
+    # per-step losses: tolerance grows with depth (compounding conv noise
+    # through momentum + BN running stats), but stays small-relative
+    report = []
+    bad = []
+    for n, i in enumerate(range(start, stop)):
+        for got, want, name in zip(
+            our_losses[i], ref_losses[i], ("sup", "uns", "con")
+        ):
+            # sup/unsup are dense means over 65² pixels: conv noise only,
+            # tight ramp.  contra averages Q=8 sampled anchors against 4
+            # sampled bank negatives per class, every one gated by
+            # percentile/rank/threshold masks — a single pixel drifting
+            # across a gate swaps a sample, which moves the value ~1/32;
+            # give it a discrete-sampling allowance on top of the ramp.
+            rtol = 2e-3 + 2e-3 * n + (0.03 if name == "con" else 0.0)
+            rel = abs(got - want) / max(abs(want), 1e-8)
+            report.append(f"{name}@{i}: got {got:.6f} want {want:.6f} rel {rel:.2e}")
+            if want == 0.0:
+                if got > 1e-5:
+                    bad.append(report[-1])
+            elif rel > rtol:
+                bad.append(report[-1])
+    assert not bad, "trajectory loss mismatches:\n" + "\n".join(
+        bad + ["--- full trajectory ---"] + report
+    )
+
+    # queue occupancy: exact enqueue-SET parity is proven single-step
+    # (test_losses.py::test_contrastive_enqueue_parity); across a
+    # trajectory the candidate masks are rank/percentile-gated on a
+    # near-uniform random-init teacher, where framework conv noise flips
+    # pixels' rank order freely, so COUNTS decorrelate (observed 27 vs 10
+    # after 4 steps).  What must survive the chaos: keys flow into the
+    # bank on both sides at the same order of magnitude.
+    ref_occ = np.asarray([int(memobank[c][0].shape[0]) for c in range(C)])
+    our_occ = np.asarray(final_state.bank.occupancy)
+    assert ref_occ.sum() > 0, "ref trajectory never enqueued — vacuous"
+    assert our_occ.sum() > 0, "our trajectory never enqueued"
+    ratio = our_occ.sum() / ref_occ.sum()
+    assert 0.25 < ratio < 4.0, (our_occ, ref_occ)
+
+    # Cumulative param deltas CANNOT be compared tightly across frameworks
+    # over a trajectory: the unsup/contra gradient FIELDS are gated by
+    # percentile/rank masks, and a pixel flipping across a gate changes
+    # WHICH pixels carry gradient while the scalar loss barely moves —
+    # measured: losses within 1% but delta vectors 40% apart in L2 after 6
+    # steps (pure gate chaos; the single-step golden, where no drift has
+    # accumulated, pins the same deltas to 5%).  What survives chaos and
+    # still catches systematic errors: the global delta DIRECTION (a sign
+    # error or missing loss term breaks it) and MAGNITUDE (a wrong
+    # lr/momentum/weight-decay breaks it).
+    before_tree = torch_to_flax(params_start, {"params": variables["params"]})
+    after_tree = torch_to_flax(
+        student.state_dict(), {"params": variables["params"]}
+    )
+    ours_new = {"params": final_state.params}
+
+    def flat(tree):
+        return np.concatenate(
+            [np.asarray(v, np.float64).ravel()
+             for v in jax.tree_util.tree_leaves(tree)]
+        )
+
+    da = flat(ours_new) - flat(before_tree)
+    db = flat(after_tree) - flat(before_tree)
+    cos = float(da @ db / (np.linalg.norm(da) * np.linalg.norm(db)))
+    ratio = float(np.linalg.norm(da) / np.linalg.norm(db))
+    assert cos > 0.85, f"global param-delta direction diverged: cos={cos:.4f}"
+    assert 0.8 < ratio < 1.25, f"global param-delta magnitude off: {ratio:.4f}"
+
+    # EMA mechanics, checked EXACTLY against our own trajectory: the fused
+    # step's teacher must equal the reference recurrence folded over our
+    # own post-step student snapshots — copy-epoch decay forced to 0 (the
+    # aliasing quirk), then the 1 - 1/(i - SPE + 1) ramp.  float32 step vs
+    # float64 host fold -> tiny tolerance, no cross-framework drift.
+    assert teacher_expected is not None
+    for (path, got), (_, want) in zip(
+        jax.tree_util.tree_leaves_with_path(final_state.teacher_params),
+        jax.tree_util.tree_leaves_with_path(teacher_expected),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(got, np.float64), np.asarray(want, np.float64),
+            rtol=1e-5, atol=1e-7,
+            err_msg=f"EMA fold {jax.tree_util.keystr(path)}",
+        )
+
+    # teacher BN running stats: averages of activation moments — not
+    # gate-driven, so they track across frameworks (every train-mode
+    # teacher forward on both sides updates them).  atol_frac 2e-2: the
+    # means' near-zero ELEMENTS carry a few % of the tensor scale in
+    # drift after 6 steps (measured 0.005 on scale 0.45 and 0.0023 on
+    # scale 0.10); a wrong momentum or a missed forward shifts the whole
+    # tensor by O(10%) and still fails.
+    _assert_tree_close(
+        {"batch_stats": final_state.teacher_batch_stats},
+        teacher.state_dict(),
+        {"batch_stats": variables["batch_stats"]},
+        "trajectory teacher batch stats",
+        rtol=2e-2,
+        atol_frac=3e-2,
+    )

@@ -24,6 +24,7 @@ are reproduced on purpose:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Tuple
 
 import jax
@@ -273,8 +274,11 @@ def make_semi_step(
         epoch = (i_iter // steps_per_epoch).astype(jnp.float32)
         step_rng = jax.random.fold_in(rng, i_iter)
         dev_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(AXIS))
-        k_coin, k_mix = jax.random.split(step_rng)  # shared across replicas
-        k_drop, k_tdrop, k_contra = jax.random.split(dev_rng, 3)
+        # ALL stochastic draws are per-replica, including the strong-aug
+        # coin and the CutMix/Cutout box geometry: the reference draws them
+        # from each rank's own RNG (train_semi.py:327 np.random per
+        # process), so replicas must flip/aim independently
+        k_drop, k_tdrop, k_contra, k_coin, k_mix = jax.random.split(dev_rng, 5)
 
         # ---- 1. pseudo-labels from the eval-mode teacher (:317-324) ----
         t_vars = {
@@ -395,6 +399,35 @@ def make_semi_step(
                 high_mask_small,
             )
 
+        # CE-tail rematerialisation (U2PL_CE_REMAT=1): the sup/unsup CE
+        # tails upsample os4 logits to (B, 513, 513, C) and the softmax/CE
+        # intermediates at that size (~88 MB f32 each at the flagship
+        # shape) otherwise stay resident in the grad graph between forward
+        # and backward.  The tails are pure functions of SMALL os4 inputs,
+        # so jax.checkpoint recomputes them during backward instead of
+        # keeping the full-resolution residuals in HBM.
+        remat_tails = os.environ.get("U2PL_CE_REMAT", "0") == "1"
+
+        def sup_tail(pred_small, aux_small, label):
+            pred = _upsample(pred_small, hw)
+            aux = _upsample(aux_small, hw) if aux_small is not None else None
+            return sup_loss_fn(pred, label, aux)
+
+        def unsup_tail(pred_small, label_u, pt_large, ent, thr):
+            return compute_unsupervised_loss(
+                _upsample(pred_small, hw),
+                label_u,
+                drop_percent,
+                pt_large,
+                ignore_label,
+                entropy=ent,
+                thresh=thr,
+            )
+
+        if remat_tails:
+            sup_tail = jax.checkpoint(sup_tail)
+            unsup_tail = jax.checkpoint(unsup_tail)
+
         def loss_fn(params):
             outs, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -404,21 +437,17 @@ def make_semi_step(
                 rngs={"dropout": k_drop},
             )
             pred_all, rep_all = outs["pred"], outs["rep"]
-            pred_l_large = _upsample(pred_all[:b_l], hw)
-            pred_u_large = _upsample(pred_all[b_l:], hw)
 
-            aux = _upsample(outs["aux"][:b_l], hw) if has_aux else None
-            sup_loss = sup_loss_fn(pred_l_large, label_l, aux)
+            aux_small = outs["aux"][:b_l] if has_aux else None
+            sup_loss = sup_tail(pred_all[:b_l], aux_small, label_l)
 
             unsup_loss = (
-                compute_unsupervised_loss(
-                    pred_u_large,
+                unsup_tail(
+                    pred_all[b_l:],
                     label_u_aug,
-                    drop_percent,
                     pred_u_large_teacher,
-                    ignore_label,
-                    entropy=entropy,
-                    thresh=drop_thresh,
+                    entropy,
+                    drop_thresh,
                 )
                 * unsup_cfg.loss_weight
             )
@@ -491,6 +520,18 @@ def make_semi_step(
                 + 1.0
             ),
             ema_decay_origin,
+        )
+        # Reference quirk (train_semi.py:309-315 + :542-547): every step of
+        # the FIRST semi epoch re-runs the student->teacher copy as
+        # `t.data = s.data`, which ALIASES teacher params to student
+        # storage; optimizer.step() then mutates them in place, so the EMA
+        # blend reads d*s_new + (1-d)*s_new and the teacher leaves every
+        # step of that epoch exactly equal to the post-step student.
+        # Reproduce by forcing decay 0 for that epoch (the driver's
+        # pre-step copy already gives the pseudo-label forwards the
+        # pre-step student, like the aliased reference teacher).
+        ema_decay = jnp.where(
+            i_iter // steps_per_epoch == sup_only_epoch, 0.0, ema_decay
         )
         new_teacher = jax.tree_util.tree_map(
             lambda t, s: ema_decay * t + (1.0 - ema_decay) * s,

@@ -230,8 +230,9 @@ def _contra_cfg(**kw):
 
 
 def _ref_contra(ref, cfg, rep, label_l, label_u, prob_l, prob_u, low_m, high_m,
-                rep_t, bank_rows):
-    """Run the reference loss on NHWC numpy inputs; returns (loss, memobank)."""
+                rep_t, bank_rows, momentum=None, i_iter=0):
+    """Run the reference loss on NHWC numpy inputs; returns (loss, memobank)
+    or, with a momentum prototype, (loss, memobank, new_prototype)."""
     t = lambda x: torch.from_numpy(np.ascontiguousarray(x))
     nchw = lambda x: t(x).permute(0, 3, 1, 2).contiguous()
     memobank, ptrs, sizes = [], [], []
@@ -251,7 +252,7 @@ def _ref_contra(ref, cfg, rep, label_l, label_u, prob_l, prob_u, low_m, high_m,
         num_queries=cfg.num_queries,
         num_negatives=cfg.num_negatives,
     )
-    new_keys, loss = ref.compute_contra_memobank_loss(
+    args = [
         nchw(rep),
         nchw(label_l).long(),
         nchw(label_u).long(),
@@ -264,8 +265,14 @@ def _ref_contra(ref, cfg, rep, label_l, label_u, prob_l, prob_u, low_m, high_m,
         ptrs,
         sizes,
         nchw(rep_t),
+    ]
+    if momentum is None:
+        new_keys, loss = ref.compute_contra_memobank_loss(*args)
+        return float(loss.item()), memobank
+    proto, new_keys, loss = ref.compute_contra_memobank_loss(
+        *args, momentum_prototype=t(momentum), i_iter=i_iter
     )
-    return float(loss.item()), memobank
+    return float(loss.item()), memobank, proto.numpy()
 
 
 def test_ranks_desc_matches_stable_sort():
@@ -352,6 +359,136 @@ def test_contrastive_deterministic_case(ref):
     assert abs(got - want) < 5e-4, (got, want)
     # nothing enqueued (high mask empty)
     np.testing.assert_array_equal(np.asarray(new_bank.occupancy), [1] * C)
+
+
+def _deterministic_contra_inputs(C=4, h=4, w=4, F=8, seed=4):
+    """One anchor candidate + one bank key per class (sampling is forced
+    deterministic); every class valid so the prefix-indexing quirk is
+    identity.  Shared by the plain and anchor_ema deterministic cases."""
+    rng = np.random.RandomState(seed)
+    rep = rng.randn(2, h, w, F).astype(np.float32)
+    rep_t = rng.randn(2, h, w, F).astype(np.float32)
+    lab_l = np.zeros((1, h, w), np.int64)
+    lab_u = np.zeros((1, h, w), np.int64)
+    for c in range(C):
+        lab_l[0, 0, c] = c
+        lab_u[0, 1, c] = c
+    onehot = lambda lab: np.eye(C, dtype=np.float32)[lab]
+    label_l, label_u = onehot(lab_l), onehot(lab_u)
+    prob = np.full((2, h, w, C), 1.0 / C, np.float32)
+    for c in range(C):
+        prob[0, 0, c] = 0.1 / (C - 1)
+        prob[0, 0, c, c] = 0.9
+        prob[1, 1, c] = 0.1 / (C - 1)
+        prob[1, 1, c, c] = 0.9
+    low_m = np.zeros((2, h, w, 1), np.float32)
+    low_m[0, 0, :C, 0] = 1
+    high_m = np.zeros((2, h, w, 1), np.float32)
+    bank_rows = {c: rng.randn(1, F).astype(np.float32) for c in range(C)}
+    return rep, rep_t, label_l, label_u, prob[:1], prob[1:], low_m, high_m, bank_rows
+
+
+def _bank_from_rows(C, F, bank_rows):
+    bank = init_memobank(C, F, dtype=jnp.float32)
+    keys = bank.keys
+    for c in range(C):
+        keys = keys.at[c, 0].set(bank_rows[c][0])
+    return MemoryBank(keys, bank.ptr, bank.occupancy + 1, bank.sizes)
+
+
+@pytest.mark.parametrize("zero_proto", [True, False])
+def test_contrastive_anchor_ema(ref, zero_proto):
+    """anchor_ema path (reference loss_helper.py:209-218): positives blend
+    with the momentum prototype of the bank class slot (decay
+    min(1 - 1/i_iter, 0.999)), the returned prototype is written back only
+    at active class slots, and an all-zero prototype skips the blend but
+    still records the fresh positives."""
+    C, h, w, F, Q = 4, 4, 4, 8, 4
+    (rep, rep_t, label_l, label_u, prob_l, prob_u, low_m, high_m,
+     bank_rows) = _deterministic_contra_inputs(C, h, w, F)
+    rng = np.random.RandomState(9)
+    i_iter = 37
+    momentum = (
+        np.zeros((C, Q, 1, F), np.float32)
+        if zero_proto
+        else rng.randn(C, Q, 1, F).astype(np.float32)
+    )
+
+    cfg = _contra_cfg(num_queries=Q)
+    want, _, want_proto = _ref_contra(
+        ref, cfg, rep, label_l, label_u, prob_l, prob_u, low_m, high_m, rep_t,
+        bank_rows, momentum=momentum, i_iter=i_iter,
+    )
+
+    bank = _bank_from_rows(C, F, bank_rows)
+    new_proto, new_bank, got = compute_contra_memobank_loss(
+        jnp.asarray(rep),
+        jnp.asarray(label_l),
+        jnp.asarray(label_u),
+        jnp.asarray(prob_l),
+        jnp.asarray(prob_u),
+        jnp.asarray(low_m),
+        jnp.asarray(high_m),
+        cfg,
+        bank,
+        jnp.asarray(rep_t),
+        jax.random.PRNGKey(0),
+        prototype=jnp.asarray(momentum),
+        i_iter=jnp.asarray(i_iter, jnp.int32),
+    )
+    assert abs(float(got) - want) < 5e-4, (float(got), want)
+    got_proto = np.asarray(new_proto)
+    assert got_proto.shape == want_proto.shape == (C, Q, 1, F)
+    np.testing.assert_allclose(got_proto, want_proto, rtol=1e-5, atol=1e-6)
+    # every class is active here, so every slot must have been written
+    assert (np.abs(want_proto).sum(axis=(1, 2, 3)) > 0).all()
+
+
+def test_contrastive_anchor_ema_inactive_class_not_written(ref):
+    """A class with an EMPTY bank is skipped (reference :175-187 continue)
+    BEFORE the prototype write: its slot must stay zero on both sides."""
+    C, h, w, F, Q = 4, 4, 4, 8, 4
+    (rep, rep_t, label_l, label_u, prob_l, prob_u, low_m, high_m,
+     bank_rows) = _deterministic_contra_inputs(C, h, w, F)
+    bank_rows.pop(2)  # class 2: anchors exist but no negatives in the bank
+    rng = np.random.RandomState(10)
+    momentum = rng.randn(C, Q, 1, F).astype(np.float32)
+    i_iter = 37
+
+    cfg = _contra_cfg(num_queries=Q)
+    want, _, want_proto = _ref_contra(
+        ref, cfg, rep, label_l, label_u, prob_l, prob_u, low_m, high_m, rep_t,
+        bank_rows, momentum=momentum, i_iter=i_iter,
+    )
+
+    bank = init_memobank(C, F, dtype=jnp.float32)
+    keys = bank.keys
+    occ = bank.occupancy
+    for c, rows in bank_rows.items():
+        keys = keys.at[c, 0].set(rows[0])
+        occ = occ.at[c].add(1)
+    bank = MemoryBank(keys, bank.ptr, occ, bank.sizes)
+
+    new_proto, _, got = compute_contra_memobank_loss(
+        jnp.asarray(rep),
+        jnp.asarray(label_l),
+        jnp.asarray(label_u),
+        jnp.asarray(prob_l),
+        jnp.asarray(prob_u),
+        jnp.asarray(low_m),
+        jnp.asarray(high_m),
+        cfg,
+        bank,
+        jnp.asarray(rep_t),
+        jax.random.PRNGKey(0),
+        prototype=jnp.asarray(momentum),
+        i_iter=jnp.asarray(i_iter, jnp.int32),
+    )
+    assert abs(float(got) - want) < 5e-4, (float(got), want)
+    got_proto = np.asarray(new_proto)
+    np.testing.assert_array_equal(got_proto[2], 0.0)
+    np.testing.assert_array_equal(want_proto[2], 0.0)
+    np.testing.assert_allclose(got_proto, want_proto, rtol=1e-5, atol=1e-6)
 
 
 def test_contrastive_enqueue_parity(ref):

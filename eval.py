@@ -54,6 +54,9 @@ def get_parser():
     parser.add_argument("--config", type=str, default="config.yaml")
     parser.add_argument("--model_path", type=str, default="checkpoints/ckpt_best.ckpt")
     parser.add_argument("--save_folder", type=str, default="checkpoints/results/")
+    # accepted-but-unused, exactly like the reference eval.py (it parses
+    # --names_path into args and never reads it; kept so launcher scripts
+    # written for the reference run unmodified)
     parser.add_argument("--names_path", type=str, default="")
     parser.add_argument("--crop", action="store_true", default=False)
     parser.add_argument(

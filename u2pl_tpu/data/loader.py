@@ -143,7 +143,10 @@ class EpochLoader:
                     pending.put(ex.submit(assemble, batches[i + depth]))
                 yield fut.result()
         finally:
-            ex.shutdown(wait=False)
+            # cancel_futures: an early generator exit (break / exception in
+            # the train loop) must not leave queued assemble jobs running
+            # on orphaned non-daemon worker threads
+            ex.shutdown(wait=False, cancel_futures=True)
 
 
 def build_loaders(cfg: Config, seed: int = 0, process_index: int = 0,

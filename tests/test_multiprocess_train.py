@@ -100,8 +100,32 @@ CHILD = textwrap.dedent(
         m = jax.device_get(local_view(metrics))
         out.append({k: float(np.asarray(v).sum()) for k, v in m.items()})
 
+    # rank-0 checkpoint save on the replicated global state (exercises the
+    # local_view fetch inside save_checkpoint), then restore on BOTH ranks
+    ckpt_dir = os.environ.get("U2PL_CKPT_DIR")
+    ckpt_ok = None
+    if ckpt_dir:
+        from jax.experimental import multihost_utils
+
+        from u2pl_tpu.utils.checkpoint import restore_payload, save_checkpoint
+
+        path = os.path.join(ckpt_dir, "ckpt.ckpt")
+        if pid == 0:
+            save_checkpoint(path, state, epoch=1, best_miou=0.25)
+        if nproc > 1:
+            multihost_utils.sync_global_devices("ckpt_saved")
+        payload = restore_payload(path)
+        ckpt_ok = (
+            payload["epoch"] == 1
+            and abs(payload["best_miou"] - 0.25) < 1e-9
+            and payload["step"] == 12  # started at 10, ran 2 steps
+            and "teacher_state" in payload
+            and "memobank" in payload
+        )
+
     params = jax.device_get(local_view(state.params))
     checks = {
+        "ckpt_ok": ckpt_ok,
         "param_sum": float(
             sum(np.float64(np.asarray(l)).sum()
                 for l in jax.tree_util.tree_leaves(params))
@@ -151,7 +175,7 @@ _OPT0 = "--xla_backend_optimization_level=0"
 
 
 @pytest.mark.slow
-def test_two_process_semi_train_step_matches_single_process():
+def test_two_process_semi_train_step_matches_single_process(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     port = _free_port()
 
@@ -174,6 +198,8 @@ def test_two_process_semi_train_step_matches_single_process():
     # same program, 2 virtual devices, full batch — the proven driver path
     env = _base_env(repo)
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count=2 {_OPT0}"
+    env["U2PL_CKPT_DIR"] = str(tmp_path / "sp")
+    os.makedirs(env["U2PL_CKPT_DIR"], exist_ok=True)
     procs["sp"] = subprocess.Popen(
         [sys.executable, "-c", CHILD], env=env,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
@@ -181,6 +207,8 @@ def test_two_process_semi_train_step_matches_single_process():
     wait_all()
 
     # 2-process distributed job: 1 virtual CPU device per process
+    mp_ckpt = str(tmp_path / "mp")
+    os.makedirs(mp_ckpt, exist_ok=True)
     for pid in range(2):
         env = _base_env(repo)
         env.update(
@@ -188,6 +216,7 @@ def test_two_process_semi_train_step_matches_single_process():
             JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
             JAX_NUM_PROCESSES="2",
             JAX_PROCESS_ID=str(pid),
+            U2PL_CKPT_DIR=mp_ckpt,
         )
         procs[f"mp{pid}"] = subprocess.Popen(
             [sys.executable, "-c", CHILD], env=env,
@@ -206,6 +235,13 @@ def test_two_process_semi_train_step_matches_single_process():
 
     # both ranks of the distributed job agree bitwise (replicated outputs)
     assert results["mp0"] == results["mp1"], (results["mp0"], results["mp1"])
+
+    # rank-0 checkpoint of the replicated global state restored on BOTH
+    # ranks (and in the single-process run)
+    for name in ("sp", "mp0", "mp1"):
+        assert results[name]["checks"]["ckpt_ok"] is True, (
+            name, results[name]["checks"],
+        )
 
     # multi-host == single-host: same losses, thresholds, LR, queue sizes,
     # and post-2-step student/teacher parameter checksums

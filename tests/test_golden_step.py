@@ -147,12 +147,12 @@ def _poly_lr(i_iter):
     return LR0 * (1.0 - i_iter / MAX_ITER) ** 0.9
 
 
-def _torch_models():
+def _torch_models(raw=None):
     setup_reference()
     init_gloo()
     from u2pl.models.model_helper import ModelBuilder
 
-    raw = _raw_cfg()
+    raw = _raw_cfg() if raw is None else raw
     student = _randomize(ModelBuilder(raw["net"]), seed=0)
     teacher = _randomize(ModelBuilder(raw["net"]), seed=1)
     _zero_dropout(student)

@@ -92,6 +92,93 @@ def test_masked_percentile_empty_mask():
     assert np.isinf(float(masked_percentile(vals, mask, 50.0)))
 
 
+class TestRadixPercentiles:
+    """masked_percentiles (sort-free radix selection) must be BIT-identical
+    to the masked_sort + percentile_from_sorted path it replaces in the semi
+    step (u2pl_tpu/train/steps.py entropy thresholds)."""
+
+    def _both(self, vals, mask, pcts):
+        from u2pl_tpu.ops.quantile import (
+            masked_percentiles,
+            masked_sort,
+            percentile_from_sorted,
+        )
+
+        got = np.asarray(
+            masked_percentiles(
+                jnp.asarray(vals), jnp.asarray(mask), jnp.asarray(pcts)
+            )
+        )
+        sv, n = masked_sort(jnp.asarray(vals), jnp.asarray(mask))
+        ref = np.asarray(
+            [float(percentile_from_sorted(sv, n, p)) for p in pcts]
+        )
+        return got, ref
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_matches_sorted_path_bitwise(self, seed):
+        rng = np.random.RandomState(seed)
+        vals = (rng.randn(3, 57, 41) * 10).astype(np.float32)
+        mask = rng.rand(3, 57, 41) > 0.3
+        pcts = [0.0, 3.7, 25.0, 50.0, 80.0, 99.1, 100.0]
+        got, ref = self._both(vals, mask, pcts)
+        np.testing.assert_array_equal(got, ref)
+
+    def test_heavy_ties(self):
+        # integer-valued floats: duplicates exercise the sorted[lo+1]==
+        # sorted[lo] shortcut and the strict-greater fallback
+        rng = np.random.RandomState(7)
+        vals = rng.randint(0, 5, (2, 40, 40)).astype(np.float32)
+        mask = rng.rand(2, 40, 40) > 0.1
+        got, ref = self._both(vals, mask, [0.0, 12.5, 50.0, 87.5, 100.0])
+        np.testing.assert_array_equal(got, ref)
+
+    def test_negative_and_mixed_sign(self):
+        rng = np.random.RandomState(11)
+        vals = (rng.randn(500) * 100).astype(np.float32)
+        vals[::17] = 0.0
+        vals[::23] = -0.0
+        mask = np.ones(500, bool)
+        got, ref = self._both(vals, mask, [0.0, 10.0, 60.0, 100.0])
+        np.testing.assert_array_equal(got, ref)
+
+    @pytest.mark.parametrize("n", [0, 1, 2])
+    def test_tiny_valid_counts(self, n):
+        vals = np.asarray([3.0, -1.0, 2.0, 5.0], np.float32)
+        mask = np.zeros(4, bool)
+        mask[:n] = True
+        got, ref = self._both(vals, mask, [0.0, 50.0, 100.0])
+        np.testing.assert_array_equal(got, ref)
+        if n == 0:
+            assert np.all(np.isinf(got))
+
+    def test_matches_numpy_linear(self):
+        rng = np.random.RandomState(5)
+        vals = rng.randn(4, 33, 33).astype(np.float32)
+        mask = rng.rand(4, 33, 33) > 0.3
+        pcts = [0.0, 7.3, 20.0, 50.0, 80.0, 97.5, 100.0]
+        got, _ = self._both(vals, mask, pcts)
+        ref = np.percentile(vals[mask], pcts)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_traced_percents_under_jit(self):
+        import jax
+
+        from u2pl_tpu.ops.quantile import masked_percentiles
+
+        rng = np.random.RandomState(9)
+        vals = jnp.asarray(rng.randn(1000).astype(np.float32))
+        mask = jnp.asarray(rng.rand(1000) > 0.5)
+
+        @jax.jit
+        def f(p):
+            return masked_percentiles(vals, mask, jnp.stack([p, 100.0 - p]))
+
+        got = np.asarray(f(jnp.float32(20.0)))
+        ref = np.percentile(np.asarray(vals)[np.asarray(mask)], [20.0, 80.0])
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
 @pytest.mark.parametrize("hw", [(513, 513), (769, 769), (512, 512), (97, 130), (33, 32)])
 def test_max_pool_ceil_matches_torch(hw):
     rng = np.random.RandomState(4)

@@ -125,7 +125,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--crop", type=int, default=513)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument(
+        "--only", type=str, default="",
+        help="comma-separated substring filter over piece names",
+    )
     args = ap.parse_args()
+    only = [s for s in args.only.split(",") if s]
 
     b, c = args.batch, args.crop
     key = jax.random.PRNGKey(1)
@@ -150,35 +155,43 @@ def main():
             return nn.relu(x)
 
     res = {}
+
+    def record(name, model, x):
+        if only and not any(s in name for s in only):
+            return
+        res[name] = time_fwd_bwd(model, x, args.iters)
+        print(f"{name}: {res[name]:.1f} ms", flush=True)
+
     x0 = jax.random.normal(key, (b, c, c, 3), dt)
-    res["stem_513"] = time_fwd_bwd(Stem(dtype=dt), x0, args.iters)
-    res["stem_conv1_3to64"] = time_fwd_bwd(
-        StemConv(feat=64, stride=2, dtype=dt), x0, args.iters)
+    record("stem_513", Stem(dtype=dt), x0)
+    record("stem_conv1_3to64", StemConv(feat=64, stride=2, dtype=dt), x0)
     xs2 = jax.random.normal(key, (b, s2, s2, 64), dt)
-    res["stem_conv2_64to64"] = time_fwd_bwd(
-        StemConv(feat=64, dtype=dt), xs2, args.iters)
-    res["stem_conv3_64to128"] = time_fwd_bwd(
-        StemConv(feat=128, dtype=dt), xs2, args.iters)
+    record("stem_conv2_64to64", StemConv(feat=64, dtype=dt), xs2)
+    record("stem_conv3_64to128", StemConv(feat=128, dtype=dt), xs2)
 
     x1 = jax.random.normal(key, (b, s4, s4, 128), dt)
-    res["layer1_129"] = time_fwd_bwd(
-        Stage(planes=64, blocks=3, stride=1, dilation_in=1, dilation=1,
-              in_planes=128, dtype=dt), x1, args.iters)
+    record("layer1_129", Stage(planes=64, blocks=3, stride=1, dilation_in=1,
+                               dilation=1, in_planes=128, dtype=dt), x1)
 
     x2 = jax.random.normal(key, (b, s4, s4, 256), dt)
-    res["layer2_129to65"] = time_fwd_bwd(
-        Stage(planes=128, blocks=4, stride=2, dilation_in=1, dilation=1,
-              in_planes=256, dtype=dt), x2, args.iters)
+    record("layer2_129to65", Stage(planes=128, blocks=4, stride=2,
+                                   dilation_in=1, dilation=1, in_planes=256,
+                                   dtype=dt), x2)
 
     x3 = jax.random.normal(key, (b, s8, s8, 512), dt)
-    res["layer3_65_d2_x23"] = time_fwd_bwd(
-        Stage(planes=256, blocks=23, stride=1, dilation_in=1, dilation=2,
-              in_planes=512, dtype=dt), x3, args.iters)
+    record("layer3_65_d2_x23", Stage(planes=256, blocks=23, stride=1,
+                                     dilation_in=1, dilation=2, in_planes=512,
+                                     dtype=dt), x3)
+    # dilation=1 control at the same shape: isolates the cost XLA pays for
+    # the d2 atrous lowering vs a dense 3x3 (not a semantically valid model)
+    record("layer3_65_d1_x23_ctl", Stage(planes=256, blocks=23, stride=1,
+                                         dilation_in=1, dilation=1,
+                                         in_planes=512, dtype=dt), x3)
 
     x4 = jax.random.normal(key, (b, s8, s8, 1024), dt)
-    res["layer4_65_d4_mg"] = time_fwd_bwd(
-        Stage(planes=512, blocks=3, stride=1, dilation_in=2, dilation=4,
-              grids=(2, 2, 4), in_planes=1024, dtype=dt), x4, args.iters)
+    record("layer4_65_d4_mg", Stage(planes=512, blocks=3, stride=1,
+                                    dilation_in=2, dilation=4, grids=(2, 2, 4),
+                                    in_planes=1024, dtype=dt), x4)
 
     class Dec(nn.Module):
         @nn.compact

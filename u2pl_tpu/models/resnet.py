@@ -22,6 +22,7 @@ import functools
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from u2pl_tpu.ops.pooling import max_pool_ceil
@@ -62,6 +63,54 @@ def make_norm(
     )
 
 
+def _s2d_pack(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, ceil(H/2), ceil(W/2), 4C) 2x2 block rearrange,
+    zero-padding odd H/W (the pad region coincides with the 3x3/s2 conv's
+    own SAME zero padding, so the rewrite below stays exact)."""
+    b, h, w, c = x.shape
+    ph, pw = -h % 2, -w % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        h, w = h + ph, w + pw
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, O) weights of a 3x3/s2/p1 conv -> the (2, 2, 4C, O) kernel
+    of the EXACT equivalent 2x2/s1 conv on the _s2d_pack'ed input.
+
+    Output row i of the stride-2 conv reads input rows {2i-1, 2i, 2i+1},
+    which in packed space are rows {i-1 (block offset u=1), i (u=0),
+    i (u=1)}; as a 2x2 kernel over packed rows {i-1+e : e in 0..1} with
+    padding (1, 0) the tap map is (e=0,u=1)->di=0, (e=1,u=0)->di=1,
+    (e=1,u=1)->di=2, and (e=0,u=0) is never read (weight 0).  Columns are
+    identical."""
+    c, o = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((2, 2, 4 * c, o), w.dtype)
+    taps = {(0, 1): 0, (1, 0): 1, (1, 1): 2}
+    for (e, u), di in taps.items():
+        for (f, v), dj in taps.items():
+            w2 = w2.at[e, f, (u * 2 + v) * c : (u * 2 + v + 1) * c, :].set(
+                w[di, dj]
+            )
+    return w2
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder.  Named "Conv_0" inside Conv it
+    puts the param at exactly the path nn.Conv would (`.../Conv_0/kernel`),
+    so checkpoints/converters/parity tests see no difference when Conv
+    lowers the convolution itself."""
+
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_kaiming, self.shape, jnp.float32)
+
+
 class Conv(nn.Module):
     """3x3/1x1 conv with torch-style explicit padding.
 
@@ -69,7 +118,15 @@ class Conv(nn.Module):
     valid-region mask makes explicit zero padding beyond the valid extent
     indistinguishable from the conv's own SAME zero padding, which is what
     makes padded-bucket forwards bit-match unpadded ones.  1x1 convs mix
-    nothing spatially, so they never need it."""
+    nothing spatially, so they never need it.
+
+    `s2d`: lower a 3x3/s2 conv as a 2x2/s1 conv on the space-to-depth
+    packed input — exactly the same linear map (see _s2d_kernel), but with
+    kh*kw*cin = 48 contraction lanes instead of 27 and an MXU-friendly
+    input layout.  Measured 1.5x faster for the deep stem's 3-channel
+    first conv on v5e (tools/bench_s2d_stem.py).  The sum order inside the
+    MXU differs, so results can differ by 1 bf16 ulp — callers gate it on
+    bfloat16 compute, keeping float32 configs bit-exact vs the reference."""
 
     features: int
     kernel: int = 3
@@ -77,11 +134,25 @@ class Conv(nn.Module):
     dilation: int = 1
     use_bias: bool = False
     dtype: Any = jnp.float32
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None):
         if mask is not None and self.kernel == 3:
             x = x * mask
+        if self.s2d:
+            assert (
+                self.kernel == 3 and self.stride == 2 and self.dilation == 1
+                and not self.use_bias
+            ), "s2d lowering is specific to a bias-free 3x3/s2 conv"
+            w = _ConvKernel((3, 3, x.shape[-1], self.features), name="Conv_0")()
+            return jax.lax.conv_general_dilated(
+                _s2d_pack(x.astype(self.dtype)),
+                _s2d_kernel(w).astype(self.dtype),
+                (1, 1),
+                ((1, 0), (1, 0)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         pad = self.dilation if self.kernel == 3 else 0
         return nn.Conv(
             self.features,
@@ -255,8 +326,15 @@ class ResNet(nn.Module):
         m = masks.get
 
         # deep stem (reference resnet.py:178-191); the input itself is
-        # already zero beyond valid (padded), so stem_conv1 needs no mask
-        x = Conv(64, 3, 2, dtype=self.dtype, name="stem_conv1")(x)
+        # already zero beyond valid (padded), so stem_conv1 needs no mask.
+        # Under bf16 compute the 3-channel first conv takes the exact
+        # space-to-depth lowering (see Conv.s2d); f32 stays bit-identical
+        # to the reference-ordered conv.
+        x = Conv(
+            64, 3, 2, dtype=self.dtype,
+            s2d=self.dtype == jnp.bfloat16,
+            name="stem_conv1",
+        )(x)
         x = norm(use_running_average=ra, name="stem_bn1")(x)
         x = nn.relu(x)
         x = Conv(64, 3, 1, dtype=self.dtype, name="stem_conv2")(x, m(2))

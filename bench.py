@@ -25,6 +25,41 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _run_canary():
+    """Effective TFLOP/s of a bare 10-deep bf16 3x3 256ch conv chain at 129².
+
+    Healthy v5e: ~105-110.  Returns None if the probe itself fails.
+    """
+    try:
+        ck = jnp.asarray(
+            np.random.RandomState(1).randn(3, 3, 256, 256), jnp.bfloat16
+        ) * 0.01
+        cx = jnp.asarray(
+            np.random.RandomState(0).randn(8, 129, 129, 256), jnp.bfloat16
+        )
+
+        @jax.jit
+        def _conv_chain(a):
+            for _ in range(10):
+                a = jax.lax.conv_general_dilated(
+                    a, ck, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            return a
+
+        r = _conv_chain(cx)
+        jax.device_get(r[0, 0, 0, 0])
+        t0 = time.perf_counter()
+        r = cx
+        for _ in range(5):
+            r = _conv_chain(r)
+        jax.device_get(r[0, 0, 0, 0])
+        c_dt = (time.perf_counter() - t0) / 50
+        return round(8 * 129 * 129 * 256 * 256 * 9 * 2 / c_dt / 1e12, 1)
+    except Exception:
+        return None
+
+
 def main():
     import dataclasses
     import os
@@ -58,6 +93,18 @@ def main():
         )
     mesh = make_mesh()
     n_dev = mesh.devices.size
+
+    # Environment canary FIRST (cheap: compiles in seconds): effective
+    # TFLOP/s of a bare bf16 conv chain.  The tunneled TPU backend has been
+    # observed to degrade 50-90x for large programs (e.g. after a crashed
+    # profiling session) while small programs stay fast; a healthy v5e
+    # shows ~105-110 here.  Running it before the step does two jobs:
+    # (a) if step throughput looks bad but the canary is healthy, suspect
+    # backend state, not code; (b) a sick canary lets us shrink the
+    # measurement loop below so this script still prints its JSON line
+    # inside the driver's window instead of timing out silently.
+    canary_tflops = _run_canary()
+    degraded = canary_tflops is not None and canary_tflops < 30.0
 
     model = build_model(cfg.net, axis_name="data")
     dummy = build_model(cfg.net, axis_name=None)
@@ -101,12 +148,45 @@ def main():
         return jax.device_get(metrics)
 
     state, m = step(state, img_l, lab_l, img_u, key)
+    sync(state, m)  # compile + first step
+    t0 = time.perf_counter()
+    state, m = step(state, img_l, lab_l, img_u, key)
     sync(state, m)
-    for _ in range(3):
+    step_est = time.perf_counter() - t0  # rough per-step time, post-compile
+
+    # Provisional result NOW, refined below: on a degraded backend
+    # (10-23 s/step + slow compile) the refined loop may not finish
+    # inside the driver's window — this line guarantees the output tail
+    # always holds a parseable measurement.  The final line prints last
+    # and supersedes it.
+    imgs_per_step = 2 * b  # labeled + unlabeled
+    print(
+        json.dumps(
+            {
+                "metric": "u2pl_semi_train_throughput"
+                + ("" if variant == "pascal" else f"_{variant}"),
+                "value": round(imgs_per_step / step_est / n_dev, 3),
+                "unit": f"img/s/chip (provisional, 1-step sample, {dtype})",
+                "vs_baseline": None,
+                "step_ms": round(step_est * 1e3, 1),
+                "canary_tflops": canary_tflops,
+                "degraded_backend": degraded,
+                "provisional": True,
+            }
+        ),
+        flush=True,
+    )
+
+    # Size the measurement loop to a ~45 s budget from the observed step
+    # time (healthy flagship ~0.25 s -> the full 20 iters; a degraded
+    # backend at 10-23 s/step -> 2 iters) so the JSON line always prints
+    # before the driver's window closes.
+    iters = max(2, min(20, int(45.0 / max(step_est, 1e-3))))
+    warmup = 3 if iters >= 8 else 1
+    for _ in range(warmup):
         state, m = step(state, img_l, lab_l, img_u, key)
     sync(state, m)
 
-    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, m = step(state, img_l, lab_l, img_u, key)
@@ -128,7 +208,6 @@ def main():
         except Exception as e:  # pragma: no cover - backend dependent
             print(f"profiling unsupported on this backend: {e!r}", flush=True)
 
-    imgs_per_step = 2 * b  # labeled + unlabeled
     img_per_sec_per_chip = imgs_per_step * iters / dt / n_dev
     sec_per_step = dt / iters
 
@@ -140,42 +219,6 @@ def main():
     vs_baseline = (
         round(img_per_sec_per_chip / ref_ceiling_img_s, 2) if comparable else None
     )
-
-    # environment canary: effective TFLOP/s of a bare bf16 conv chain.
-    # The tunneled TPU backend has been observed to degrade 50-90x for
-    # large programs (e.g. after a crashed profiling session) while small
-    # programs stay fast; a healthy v5e shows ~105-110 here.  If step
-    # throughput looks bad but the canary is healthy, suspect the backend
-    # state, not the code.
-    canary_tflops = None
-    try:
-        ck = jnp.asarray(
-            np.random.RandomState(1).randn(3, 3, 256, 256), jnp.bfloat16
-        ) * 0.01
-        cx = jnp.asarray(
-            np.random.RandomState(0).randn(8, 129, 129, 256), jnp.bfloat16
-        )
-
-        @jax.jit
-        def _conv_chain(a):
-            for _ in range(10):
-                a = jax.lax.conv_general_dilated(
-                    a, ck, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-            return a
-
-        r = _conv_chain(cx)
-        jax.device_get(r[0, 0, 0, 0])
-        t0 = time.perf_counter()
-        r = cx
-        for _ in range(5):
-            r = _conv_chain(r)
-        jax.device_get(r[0, 0, 0, 0])
-        c_dt = (time.perf_counter() - t0) / 50
-        canary_tflops = round(8 * 129 * 129 * 256 * 256 * 9 * 2 / c_dt / 1e12, 1)
-    except Exception:
-        pass
 
     # roofline accounting from XLA's own cost model: FLOPs and HBM bytes of
     # the compiled step -> TFLOP/s, MFU and achieved-bandwidth fractions
@@ -218,8 +261,15 @@ def main():
                 "hbm_gbps": hbm_gbps,
                 "hbm_bw_pct": hbm_pct,
                 "canary_tflops": canary_tflops,
+                # True when the canary shows the tunneled backend in its
+                # documented slow state (docs/PERF.md "Tunneled-backend
+                # degradation mode"): the step numbers above measure the
+                # backend, not the code, and iters was shrunk to fit the
+                # driver window.
+                "degraded_backend": degraded,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -37,6 +37,7 @@ numbers were trained with):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -44,6 +45,7 @@ import jax.numpy as jnp
 
 from u2pl_tpu.config import ContrastiveCfg
 from u2pl_tpu.memobank import MemoryBank, enqueue_segments, sample
+from u2pl_tpu.ops.quantile import _kth_smallest_keys
 
 
 def _ranks_desc(prob: jax.Array) -> jax.Array:
@@ -85,6 +87,57 @@ def _sample_with_replacement(
     return jnp.clip(idx, 0, mask.shape[0] - 1), n
 
 
+def _select_keys_argsort(
+    mask: jax.Array, rng: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Argsort lowering of the key selection (see _select_keys): a full
+    argsort over random priorities (masked-out pixels sort last) with the
+    slab sliced AFTER the sort.  Cost is O(N log N) in the pixel count,
+    never in k.  Kept for A/B against the radix lowering
+    (tools/bench_select_keys.py)."""
+    pri = jnp.where(mask, jax.random.uniform(rng, mask.shape), jnp.inf)
+    order = jnp.argsort(pri)  # ascending; invalid pixels land last
+    idx = order[: min(k, mask.shape[0])]
+    if idx.shape[0] < k:  # fewer pixels than the cap: pad the slab
+        idx = jnp.concatenate([idx, jnp.zeros((k - idx.shape[0],), idx.dtype)])
+    valid = jnp.arange(k) < jnp.minimum(mask.sum(), k)
+    return idx, valid
+
+
+def _select_keys_radix(
+    mask: jax.Array, rng: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Sort-free lowering of the key selection: draw a random u32 key per
+    pixel, radix-select the k-th smallest masked key
+    (ops/quantile._kth_smallest_keys — fused compare-and-reduce passes,
+    no scatter, no sort), threshold, and compact with cumsum+searchsorted
+    (a gather-based binary search — the same pattern
+    _sample_with_replacement already proves under shard_map; the
+    known-slow lowering is cumsum+SCATTER, which serializes under manual
+    partitioning).  O(N) in the pixel count vs the argsort's O(N log N).
+
+    Semantics match _select_keys_argsort: at or under the cap the slab is
+    exactly the masked indices (here in pixel order — the reference's
+    boolean indexing order, utils.py:27-47); over the cap it is a
+    uniform-random k-subset.  Two negligible-probability deviations from
+    ideal uniformity, both bounded by random u32 collisions (~N/2^32 per
+    step): a tie AT the threshold admits the lower-indexed tied pixels,
+    and a valid pixel drawing the 0xFFFFFFFF filler key is never
+    selected while over the cap."""
+    n = mask.shape[0]
+    kk = min(k, n)
+    cnt = mask.sum()
+    keys = jax.random.bits(rng, (n,), jnp.uint32)
+    keys = jnp.where(mask, keys, jnp.uint32(0xFFFFFFFF))
+    thresh = _kth_smallest_keys(keys, jnp.asarray([kk - 1], jnp.int32))[0]
+    sel = jnp.where(cnt > kk, mask & (keys <= thresh), mask)
+    cs = jnp.cumsum(sel.astype(jnp.int32))
+    idx = jnp.searchsorted(cs, jnp.arange(1, k + 1, dtype=jnp.int32), side="left")
+    idx = jnp.clip(idx, 0, n - 1).astype(jnp.int32)
+    valid = jnp.arange(k) < jnp.minimum(cnt, k)
+    return idx, valid
+
+
 def _select_keys(
     mask: jax.Array, rng: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -94,21 +147,18 @@ def _select_keys(
     the measured candidate maximum, docs/CONFIG.md) this enqueues exactly
     the reference's candidate stream.
 
-    Implemented as a full argsort over random priorities (masked-out
-    pixels sort last) with the slab sliced AFTER the sort, because the two
-    "obvious" lowerings both break on TPU inside the shard_map'd train
-    step: `lax.top_k` is rejected by the backend at k ~ 12k
-    (INVALID_ARGUMENT), and a cumsum+scatter compaction that is fast in
-    isolation lowers to a ~90x-slower serialized scatter under manual
-    partitioning.  The argsort's cost depends only on the pixel count,
-    never on k.  Returns (idx (k,), valid (k,) bool)."""
-    pri = jnp.where(mask, jax.random.uniform(rng, mask.shape), jnp.inf)
-    order = jnp.argsort(pri)  # ascending; invalid pixels land last
-    idx = order[: min(k, mask.shape[0])]
-    if idx.shape[0] < k:  # fewer pixels than the cap: pad the slab
-        idx = jnp.concatenate([idx, jnp.zeros((k - idx.shape[0],), idx.dtype)])
-    valid = jnp.arange(k) < jnp.minimum(mask.sum(), k)
-    return idx, valid
+    Two lowerings, both avoiding the "obvious" ones that break on TPU
+    inside the shard_map'd train step (`lax.top_k` is rejected by the
+    backend at k ~ 12k (INVALID_ARGUMENT); cumsum+scatter compaction
+    lowers to a ~90x-slower serialized scatter under manual
+    partitioning): the O(N log N) random-priority argsort and the O(N)
+    radix-select + gather compaction.  U2PL_SELECT_KEYS ∈
+    {radix, argsort} picks one; the default is whichever measured faster
+    in-step on real hardware (docs/PERF.md).  Returns
+    (idx (k,), valid (k,) bool)."""
+    if os.environ.get("U2PL_SELECT_KEYS", "argsort") == "radix":
+        return _select_keys_radix(mask, rng, k)
+    return _select_keys_argsort(mask, rng, k)
 
 
 def compute_contra_memobank_loss(

@@ -17,7 +17,11 @@ Usage: python tools/bench_select_keys.py [--n 133128] [--classes 21]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -153,9 +153,12 @@ def _select_keys(
     lowers to a ~90x-slower serialized scatter under manual
     partitioning): the O(N log N) random-priority argsort and the O(N)
     radix-select + gather compaction.  U2PL_SELECT_KEYS ∈
-    {radix, argsort} picks one; the default is whichever measured faster
-    in-step on real hardware (docs/PERF.md).  Returns
-    (idx (k,), valid (k,) bool)."""
+    {radix, argsort} picks one; **argsort is the default** — measured
+    6.6 vs 62.0 ms at the real shape (21×133k, cap 8192) on v5e, the
+    radix path's searchsorted compaction alone costs 33.7 ms because the
+    per-slab binary-search gathers serialize (docs/PERF.md).  The radix
+    lowering is kept for A/B and for backends where sort is the weak op.
+    Returns (idx (k,), valid (k,) bool)."""
     if os.environ.get("U2PL_SELECT_KEYS", "argsort") == "radix":
         return _select_keys_radix(mask, rng, k)
     return _select_keys_argsort(mask, rng, k)

@@ -122,6 +122,27 @@ def test_ohem_matches_reference(ref, min_kept):
     assert abs(got - want) < 1e-4
 
 
+def test_ohem_kth_smallest_bit_matches_topk():
+    """The radix-selected OHEM threshold is BIT-identical to the top_k
+    lowering it replaced, so the kept pixel set is identical too — incl.
+    heavy ties, duplicates, and k == n."""
+    import jax
+
+    from u2pl_tpu.losses.ohem import _kth_smallest
+
+    rng = np.random.RandomState(7)
+    for n, k in [(1000, 100), (5000, 1000), (4096, 4096), (333, 1)]:
+        p = rng.rand(n).astype(np.float32)
+        p[rng.rand(n) < 0.3] = np.float32(0.5)  # tie block
+        p[rng.rand(n) < 0.1] = np.float32(1.0)  # the ignored-pixel filler
+        got = np.asarray(_kth_smallest(jnp.asarray(p), k))
+        want = np.asarray(-jax.lax.top_k(-jnp.asarray(p), k)[0][k - 1])
+        assert got.tobytes() == want.tobytes(), (n, k, got, want)
+        kept_got = p <= got
+        kept_want = p <= want
+        np.testing.assert_array_equal(kept_got, kept_want)
+
+
 def test_ohem_use_weight_matches_reference(ref):
     rng = np.random.RandomState(21)
     pred = _rand_logits(rng, (2, 12, 12, 19))

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from u2pl_tpu.losses.ce import cross_entropy_ignore
+from u2pl_tpu.ops.quantile import _keys_to_f32, _kth_smallest_keys, _order_keys
 
 # use_weight=True vector (reference loss_helper.py:464-486)
 CITYSCAPES_OHEM_WEIGHT = (
@@ -29,6 +30,27 @@ CITYSCAPES_OHEM_WEIGHT = (
     1.0023, 0.9539, 0.9843, 1.1116, 0.9037, 1.0865, 1.0955, 1.0865, 1.1529,
     1.0507,
 )
+
+
+def _kth_smallest(p_y: jax.Array, k: int) -> jax.Array:
+    """k-th smallest of `p_y` (ascending, 1-based k — the min_kept-th
+    smallest target-class prob, reference loss_helper.py:519-526).
+
+    OHEM only consumes this as a scalar THRESHOLD (`p_y <= threshold`), so
+    the order statistic is radix-selected from the order-preserving u32
+    float keys (ops/quantile._kth_smallest_keys: fused compare-and-reduce
+    passes, no sort, no (k,)-slab) instead of `lax.top_k(-p_y, k)` — the
+    same machinery that beat the masked sort 2.7x on the entropy
+    percentiles, and here it also avoids materializing a 100k-value top-k
+    slab over 1-2M pixels per OHEM head (docs/PERF.md).  Bit-identical to
+    `-lax.top_k(-p_y, k)[0][k-1]` (unit-tested, tests/test_losses.py).
+    Falls back to top_k past the radix counter's 2^24-key exactness bound
+    (only reachable at batch*769^2 >= 16.7M pixels, i.e. per-device batch
+    >= 29)."""
+    if p_y.shape[0] >= (1 << 24):
+        return -jax.lax.top_k(-p_y, k)[0][k - 1]
+    keys = _order_keys(p_y.astype(jnp.float32))
+    return _keys_to_f32(_kth_smallest_keys(keys, jnp.asarray([k - 1], jnp.int32)))[0]
 
 
 def ohem_cross_entropy(
@@ -52,8 +74,7 @@ def ohem_cross_entropy(
 
     num_valid = valid.sum()
     k = min(n, int(min_kept))
-    # min_kept-th smallest of p_y (sorted ascending, index k-1)
-    kth = -jax.lax.top_k(-p_y, k)[0][k - 1]
+    kth = _kth_smallest(p_y, k)
     threshold = jnp.maximum(jnp.asarray(thresh, jnp.float32), kth)
     apply_ohem = (num_valid > 0) & (min_kept <= num_valid)
     kept = jnp.where(apply_ohem, p_y <= threshold, True)

@@ -90,3 +90,30 @@ def test_over_cap_selection_is_unbiased_enough():
     p = k / 256
     sigma = np.sqrt(trials * p * (1 - p))
     assert np.abs(counts - trials * p).max() < 4.5 * sigma
+
+def test_select_keys_parsed_from_yaml_and_validated():
+    """The lowering choice is a config field (baked into the traced program;
+    multi-host runs must trace identically on every host), so it must round-
+    trip through the YAML parser and reject unknown values loudly."""
+    import os
+
+    import yaml
+
+    from u2pl_tpu.config import parse_config
+
+    p = os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        "experiments",
+        "pascal",
+        "1464",
+        "ours",
+        "config.yaml",
+    )
+    raw = yaml.safe_load(open(p))
+    assert parse_config(raw).trainer.contrastive.select_keys == "argsort"
+    raw["trainer"]["contrastive"]["select_keys"] = "radix"
+    assert parse_config(raw).trainer.contrastive.select_keys == "radix"
+    raw["trainer"]["contrastive"]["select_keys"] = "bogus"
+    with pytest.raises(ValueError, match="select_keys"):
+        parse_config(raw)

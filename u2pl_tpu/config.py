@@ -141,6 +141,11 @@ class ContrastiveCfg:
     # observed maxima (zero truncation in the worst measured case).
     max_keys_per_class_per_step: int = 8192  # per-device enqueue slab
     queue_dtype: str = "bfloat16"  # memory-bank storage dtype
+    # enqueue-subset lowering: "argsort" (default, measured 9x faster at the
+    # in-step shape) or "radix" (docs/PERF.md "Radix-select key selection").
+    # A config field, not an env var: the choice is baked in at trace time,
+    # and multi-host runs must trace identical programs on every host.
+    select_keys: str = "argsort"
 
 
 @dataclass(frozen=True)
@@ -360,7 +365,13 @@ def parse_config(raw: Dict[str, Any], exp_path: str = "") -> Config:
                 contra_raw.get("max_keys_per_class_per_step", 8192)
             ),
             queue_dtype=str(contra_raw.get("queue_dtype", "bfloat16")),
+            select_keys=str(contra_raw.get("select_keys", "argsort")),
         )
+        if contra_cfg.select_keys not in ("argsort", "radix"):
+            raise ValueError(
+                "contrastive.select_keys must be 'argsort' or 'radix', got "
+                f"{contra_cfg.select_keys!r}"
+            )
 
     trainer_cfg = TrainerCfg(
         epochs=int(trainer.get("epochs", 80)),

@@ -37,7 +37,6 @@ numbers were trained with):
 
 from __future__ import annotations
 
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -139,7 +138,7 @@ def _select_keys_radix(
 
 
 def _select_keys(
-    mask: jax.Array, rng: jax.Array, k: int
+    mask: jax.Array, rng: jax.Array, k: int, lowering: str = "argsort"
 ) -> Tuple[jax.Array, jax.Array]:
     """Pick up to k indices from a boolean mask (uniform-random subset when
     the mask has more than k true entries; the reference enqueues all,
@@ -152,14 +151,16 @@ def _select_keys(
     backend at k ~ 12k (INVALID_ARGUMENT); cumsum+scatter compaction
     lowers to a ~90x-slower serialized scatter under manual
     partitioning): the O(N log N) random-priority argsort and the O(N)
-    radix-select + gather compaction.  U2PL_SELECT_KEYS ∈
-    {radix, argsort} picks one; **argsort is the default** — measured
-    6.6 vs 62.0 ms at the real shape (21×133k, cap 8192) on v5e, the
-    radix path's searchsorted compaction alone costs 33.7 ms because the
-    per-slab binary-search gathers serialize (docs/PERF.md).  The radix
-    lowering is kept for A/B and for backends where sort is the weak op.
-    Returns (idx (k,), valid (k,) bool)."""
-    if os.environ.get("U2PL_SELECT_KEYS", "argsort") == "radix":
+    radix-select + gather compaction.  `lowering` ∈ {radix, argsort}
+    picks one (plumbed from ContrastiveCfg.select_keys — a config field,
+    NOT an env var, because the choice bakes into the traced program and
+    multi-host runs must trace identically on every host); **argsort is
+    the default** — measured 6.6 vs 62.0 ms at the real shape (21×133k,
+    cap 8192) on v5e, the radix path's searchsorted compaction alone
+    costs 33.7 ms because the per-slab binary-search gathers serialize
+    (docs/PERF.md).  The radix lowering is kept for A/B and for backends
+    where sort is the weak op.  Returns (idx (k,), valid (k,) bool)."""
+    if lowering == "radix":
         return _select_keys_radix(mask, rng, k)
     return _select_keys_argsort(mask, rng, k)
 
@@ -248,7 +249,12 @@ def compute_contra_memobank_loss(
     # --- enqueue negative keys (reference :142-150 / utils.py:27-47) ---
     rng, kkey, akey, nkey = jax.random.split(rng, 4)
     sel_idx, sel_valid = jax.vmap(
-        lambda m, k: _select_keys(m, k, cfg.max_keys_per_class_per_step)
+        lambda m, k: _select_keys(
+            m,
+            k,
+            cfg.max_keys_per_class_per_step,
+            getattr(cfg, "select_keys", "argsort"),
+        )
     )(negative_mask.T, jax.random.split(kkey, num_classes))
     new_keys = rep_t_f[sel_idx]  # (C, K, F) native dtype; bank casts on write
     # _select_keys emits prefix-compact slabs, so only the per-class COUNT

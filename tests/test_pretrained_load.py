@@ -291,3 +291,64 @@ def test_pretrain_loads_weights_only(tmp_path):
     w = lambda p: np.asarray(p["encoder"]["stem_conv1"]["Conv_0"]["kernel"])
     np.testing.assert_allclose(w(state.params), w(donor.params))
     np.testing.assert_allclose(w(state.teacher_params), w(donor.teacher_params))
+
+
+def test_pretrained_required_fails_loudly(monkeypatch):
+    """Configs that target published numbers must error, not warn, when the
+    ImageNet warm start is unavailable (a silent random-init start would
+    burn a week of accelerator time) — unless U2PL_ALLOW_RANDOM_INIT=1."""
+    import pytest
+
+    from u2pl_tpu.train.optim import make_optimizer
+    from u2pl_tpu.train.state import create_train_state
+    from u2pl_tpu.config import OptimizerCfg
+
+    raw = {
+        "net": {
+            "num_classes": 5,
+            "encoder": {
+                "type": "u2pl.models.resnet.resnet50",
+                "kwargs": dict(
+                    ENC_KW,
+                    pretrained="/nonexistent/weights.pth",
+                    pretrained_required=True,
+                ),
+            },
+            "decoder": {
+                "type": "u2pl.models.decoder.dec_deeplabv3_plus",
+                "kwargs": {"inner_planes": 32, "dilations": [2, 4, 6]},
+            },
+        }
+    }
+    cfg = parse_config(raw)
+    enc_cfg = cfg.net.encoder
+    assert enc_cfg.pretrained_required
+    model = build_model(cfg.net)
+    tx = make_optimizer(OptimizerCfg(), {}, 1.0)
+    state = create_train_state(
+        model, tx, jax.random.PRNGKey(0), (1, 33, 33, 3), with_teacher=False
+    )
+    monkeypatch.delenv("U2PL_ALLOW_RANDOM_INIT", raising=False)
+    with pytest.raises(FileNotFoundError, match="pretrained_required"):
+        load_encoder_pretrained(enc_cfg, state)
+    # explicit override: back to the warn-and-continue behavior
+    monkeypatch.setenv("U2PL_ALLOW_RANDOM_INIT", "1")
+    assert load_encoder_pretrained(enc_cfg, state) is state
+
+
+def test_all_shipped_yamls_set_pretrained_required():
+    import glob
+
+    from u2pl_tpu.config import load_config
+
+    paths = sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(__file__), "..", "experiments", "**", "config.yaml"
+            ),
+            recursive=True,
+        )
+    )
+    assert paths
+    for p in paths:
+        assert load_config(p).net.encoder.pretrained_required, p

@@ -214,15 +214,28 @@ def load_encoder_pretrained(enc_cfg, state: TrainState) -> TrainState:
     ships no weights); missing/unexpected keys are reported like the
     reference printout."""
     path = resolve_pretrained_path(enc_cfg)
-    if path is None:
-        return state
-    if not os.path.isfile(path):
-        log.warning(
-            f"encoder.pretrained: no ImageNet checkpoint at '{path}' — "
-            "training from random init (published mIoU baselines need it; "
-            "edit u2pl_tpu/models/resnet.py model_urls or set "
-            "encoder.pretrained to a path)"
+    required = getattr(enc_cfg, "pretrained_required", False) and not os.environ.get(
+        "U2PL_ALLOW_RANDOM_INIT"
+    )
+    if path is None or not os.path.isfile(path):
+        where = (
+            "configured for this arch (no model_urls entry)"
+            if path is None
+            else f"at '{path}'"
         )
+        msg = (
+            f"encoder.pretrained: no ImageNet checkpoint {where} — "
+            "published mIoU baselines are unreachable from random init; "
+            "edit u2pl_tpu/models/resnet.py model_urls or set "
+            "encoder.pretrained to a path"
+        )
+        if required:
+            raise FileNotFoundError(
+                msg + " (this config sets encoder.kwargs.pretrained_required; "
+                "set U2PL_ALLOW_RANDOM_INIT=1 to proceed from random init)"
+            )
+        if path is not None:
+            log.warning(msg + " — training from random init")
         return state
     import torch
 

@@ -132,3 +132,41 @@ def test_rand_resize_range():
         ri, rl = rr(img, lab)
         assert 49 <= ri.shape[0] <= 201
         assert ri.shape[:2] == rl.shape
+
+
+def test_vendored_split_lists_complete_and_unmodified():
+    """The 28 reference split lists (data/splits/**, dataset metadata) are
+    vendored so a bare clone trains without a reference checkout; every
+    data_list an experiment YAML references must resolve into them."""
+    import glob
+    import hashlib
+
+    import yaml
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    paths = sorted(
+        glob.glob(os.path.join(repo, "data", "splits", "**", "*.txt"), recursive=True)
+    )
+    assert len(paths) == 28
+    h = hashlib.sha256()
+    for p in paths:
+        h.update(os.path.relpath(p, repo).encode())
+        h.update(open(p, "rb").read())
+    assert (
+        h.hexdigest()
+        == "58d53f478c1e25ea1d15329c9e8f6bbc0da0fe1bd5fa8bc781e202bfb7a56d35"
+    )
+
+    for cfg_path in glob.glob(
+        os.path.join(repo, "experiments", "**", "config.yaml"), recursive=True
+    ):
+        raw = yaml.safe_load(open(cfg_path))
+        for split in ("train", "val"):
+            d = raw["dataset"].get(split, {})
+            lst = d.get("data_list")
+            if lst and "splits" in lst:
+                resolved = os.path.normpath(
+                    os.path.join(os.path.dirname(cfg_path), lst)
+                )
+                assert os.path.isfile(resolved), (cfg_path, lst)
+                assert os.path.getsize(resolved) > 0

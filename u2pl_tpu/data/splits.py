@@ -21,9 +21,10 @@ log = logging.getLogger("global")
 def sync_split_dir(source_root: str, dest_root: str) -> int:
     """Copy every ``*.txt`` under ``<source_root>/data/splits`` into
     ``dest_root``, preserving layout.  The split lists (labeled/unlabeled/
-    val image-ID files, reference data/splits/**) are dataset metadata
-    published with the reference repo and deliberately NOT vendored here;
-    this fetches them from a reference checkout.  Returns files copied."""
+    val image-ID files, reference data/splits/**) are dataset metadata and
+    ARE vendored at the repo root (data/splits/**, sha256 manifest in
+    tests/test_data.py) so a bare clone trains out of the box; this tool
+    refreshes them from a reference checkout.  Returns files copied."""
     src = os.path.join(source_root, "data", "splits")
     if not os.path.isdir(src):
         raise FileNotFoundError(f"no split directory at {src}")
@@ -40,10 +41,11 @@ def sync_split_dir(source_root: str, dest_root: str) -> int:
 
 
 def _maybe_sync_missing_split(d_list: str) -> bool:
-    """Auto-populate data/splits/ on first use from a reference checkout
-    (U2PL_SPLITS_SOURCE, default /root/reference) so a fresh clone's
-    train.sh runs out of the box.  Only fires for paths under a
-    ``data/splits`` tree; returns True if the file now exists."""
+    """Auto-populate a data/splits/ tree OUTSIDE this repo (e.g. a config
+    pointing at a dataset checkout) from a reference checkout
+    (U2PL_SPLITS_SOURCE, default /root/reference).  The repo's own
+    data/splits/** is vendored, so this only fires for external paths.
+    Returns True if the file now exists."""
     parts = os.path.normpath(os.path.abspath(d_list)).split(os.sep)
     try:
         i = len(parts) - 1 - parts[::-1].index("splits")
@@ -66,11 +68,11 @@ def _maybe_sync_missing_split(d_list: str) -> bool:
 def parse_split(d_list: str) -> List[Tuple[str, str]]:
     if not os.path.isfile(d_list) and not _maybe_sync_missing_split(d_list):
         raise FileNotFoundError(
-            f"split list {d_list!r} does not exist. Split lists are dataset "
-            "metadata shipped with the reference U2PL repo (data/splits/**) "
-            "and are not vendored here; run `python tools/sync_splits.py "
-            "--source /path/to/U2PL` (or set U2PL_SPLITS_SOURCE and retry) "
-            "to populate data/splits/."
+            f"split list {d_list!r} does not exist. The standard lists are "
+            "vendored under this repo's data/splits/** — point the config "
+            "there, or run `python tools/sync_splits.py --source "
+            "/path/to/U2PL` (or set U2PL_SPLITS_SOURCE and retry) to "
+            "populate an external data/splits/ tree."
         )
     pairs: List[Tuple[str, str]] = []
     if "cityscapes" in d_list:

@@ -77,3 +77,34 @@ def test_dynamic_copy_paste():
     )
     assert np.all(np.asarray(out_lab) == 2)
     assert np.all(np.asarray(out_img) == 1.0)
+
+
+def test_cal_pixel_num_counts_and_ignores_255():
+    from u2pl_tpu.ael import cal_pixel_num
+
+    pred = np.full((10, 10), 255, np.int64)
+    pred[:3, :] = 2
+    pred[3:5, :] = 7
+    res = cal_pixel_num(pred)
+    assert res.shape == (19,)
+    assert res[2] == 30 and res[7] == 20 and res.sum() == 50
+
+
+def test_padding_bbox_old_grows_towards_full_area():
+    from u2pl_tpu.ael import padding_bbox_old
+
+    # tall box: long axis y gets the fixed 40px pad (clamped to the crop),
+    # then x widens symmetrically toward area/(y1-y0) = 100
+    y0, x0, y1, x1 = padding_bbox_old([30.0, 40.0, 80.0, 60.0], 100)
+    assert (y0, y1) == (0, 100)
+    assert (x0, x1) == (0, 100)
+
+
+def test_padding_bbox_old_wide_branch_quirk():
+    from u2pl_tpu.ael import padding_bbox_old
+
+    # wide box takes the else branch whose reference code clamps with
+    # max(x1 + 40, size): x1 legitimately exceeds the crop (parity quirk)
+    y0, x0, y1, x1 = padding_bbox_old([40.0, 10.0, 55.0, 90.0], 100)
+    assert x1 == 130 and x0 == 0
+    assert 0 < y0 < 40 and 55 < y1 <= 100

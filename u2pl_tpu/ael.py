@@ -25,6 +25,14 @@ import jax
 import jax.numpy as jnp
 
 
+def cal_pixel_num(pred_map: np.ndarray, num_classes: int = 19) -> np.ndarray:
+    """Per-class pixel counts of an argmax map, ignoring 255
+    (utils.py:97-104; the reference hardcodes 19 classes)."""
+    p = np.asarray(pred_map).ravel()
+    p = p[p != 255]
+    return np.bincount(p, minlength=num_classes)[:num_classes]
+
+
 def init_cutmix(crop_size: int) -> np.ndarray:
     """Random rectangle covering half the crop area with random aspect
     (utils.py:106-124). Returns [y0, x0, y1, x1]."""
@@ -88,6 +96,34 @@ def padding_bbox(rect: Sequence[float], size: int) -> List[float]:
     else:
         x0 = max(random.randint(int(x0 - delta_w), int(x0)), 0)
         x1 = min(x0 + new_w, size)
+    return [y0, x0, y1, x1]
+
+
+def padding_bbox_old(rect: Sequence[float], size: int) -> List[float]:
+    """Legacy deterministic grow variant (utils.py:127-150): pad the long
+    axis by a fixed 40 px, then widen the short axis symmetrically toward
+    `area / long_side`.  Two reference quirks kept for parity: the target
+    area is the FULL crop (`size**2`, not the half-area every other variant
+    uses) and the short-`h` branch clamps with `x1 = max(x1 + 40, size)`
+    (max, not min — x1 can exceed the crop)."""
+    area = size**2
+    y0, x0, y1, x1 = rect
+    if (y1 - y0) >= (x1 - x0):
+        y0 = max(y0 - 40, 0)
+        y1 = min(y1 + 40, size)
+        new_delta = area / (y1 - y0)
+        if new_delta > (x1 - x0):
+            new_delta = (new_delta - (x1 - x0)) / 2
+            x0 = max(x0 - new_delta, 0)
+            x1 = min(x1 + new_delta, size)
+    else:
+        x0 = max(x0 - 40, 0)
+        x1 = max(x1 + 40, size)
+        new_delta = area / (x1 - x0)
+        if new_delta > (y1 - y0):
+            new_delta = (new_delta - (y1 - y0)) / 2
+            y0 = max(y0 - new_delta, 0)
+            y1 = min(y1 + new_delta, size)
     return [y0, x0, y1, x1]
 
 

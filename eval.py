@@ -19,7 +19,6 @@ from argparse import ArgumentParser
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from u2pl_tpu.config import load_config
@@ -37,8 +36,7 @@ from u2pl_tpu.evallib.slide import (
     predict_whole,
 )
 from u2pl_tpu.models import build_model
-from u2pl_tpu.utils.checkpoint import load_model_variables
-from u2pl_tpu.utils.convert_torch import torch_to_flax
+from u2pl_tpu.utils.checkpoint import load_eval_variables
 from u2pl_tpu.utils.logging_utils import AverageMeter, init_log
 
 try:
@@ -100,16 +98,7 @@ def build_data_list(cfg):
     return data_list, colormap
 
 
-def load_variables(model, model_path, crop_size):
-    raw = load_model_variables(model_path, prefer_teacher=True)
-    if "torch_state_dict" in raw:
-        template = model.init(
-            jax.random.PRNGKey(0),
-            jnp.zeros((1, crop_size[0], crop_size[1], 3)),
-            train=False,
-        )
-        raw = torch_to_flax(raw["torch_state_dict"], template)
-    return jax.tree_util.tree_map(jnp.asarray, raw)
+load_variables = load_eval_variables  # back-compat alias (moved to utils)
 
 
 def main():

@@ -19,9 +19,8 @@ from u2pl_tpu.evallib.colormap import colorize, create_pascal_label_colormap
 from u2pl_tpu.evallib.slide import make_net_process
 from u2pl_tpu.models import build_model
 from u2pl_tpu.ops.resize import resize_bilinear_numpy
+from u2pl_tpu.utils.checkpoint import load_eval_variables as load_variables
 from u2pl_tpu.utils.logging_utils import init_log
-
-from eval import load_variables  # shared checkpoint loading
 
 try:
     from PIL import Image

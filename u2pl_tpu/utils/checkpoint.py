@@ -101,6 +101,26 @@ def load_model_variables(path: str, prefer_teacher: bool = True) -> Any:
     return payload[key]
 
 
+def load_eval_variables(model, model_path: str, crop_size) -> Any:
+    """{params, batch_stats} ready for eval/infer forwards: teacher-preferred
+    (reference eval.py:122-127), with reference torch .pth checkpoints
+    converted through the model's own init template. Shared by the eval and
+    infer CLIs."""
+    import jax.numpy as jnp
+
+    raw = load_model_variables(model_path, prefer_teacher=True)
+    if "torch_state_dict" in raw:
+        from u2pl_tpu.utils.convert_torch import torch_to_flax
+
+        template = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, crop_size[0], crop_size[1], 3)),
+            train=False,
+        )
+        raw = torch_to_flax(raw["torch_state_dict"], template)
+    return jax.tree_util.tree_map(jnp.asarray, raw)
+
+
 def load_checkpoint(
     path: str, state_template: TrainState
 ) -> Tuple[TrainState, int, float]:

@@ -148,17 +148,32 @@ def main():
         jax.device_get(jax.tree_util.tree_leaves(s.params)[0])
         return (time.perf_counter() - t0) / args.iters * 1e3
 
-    base_ms = None
-    for name, opts in CANDIDATES:
+    # Baseline FIRST, unconditionally: every candidate's delta is computed
+    # against it, so a failed baseline aborts the sweep instead of silently
+    # producing a comparison-free (or, for candidates ordered before it,
+    # None-anchored) run.
+    candidates = [c for c in CANDIDATES if c[0] == "baseline"] + [
+        c for c in CANDIDATES if c[0] != "baseline"
+    ]
+    try:
+        base_compiled = lowered.compile(compiler_options=None)
+        base_ms = measure(base_compiled)
+    except Exception as e:
+        raise SystemExit(
+            f"baseline compile/measure failed ({type(e).__name__}: {e}) — "
+            "no comparison anchor, aborting the sweep"
+        )
+    print(f"{'baseline':<16} {base_ms:8.1f} ms   vs baseline +0.0%", flush=True)
+    for name, opts in candidates:
+        if name == "baseline":
+            continue
         try:
             compiled = lowered.compile(compiler_options=opts or None)
             ms = measure(compiled)
         except Exception as e:
             print(f"{name:<16} REJECTED: {type(e).__name__}: {e}"[:200], flush=True)
             continue
-        if base_ms is None and name == "baseline":
-            base_ms = ms
-        delta = f"{(ms / base_ms - 1) * 100:+.1f}%" if base_ms else "n/a"
+        delta = f"{(ms / base_ms - 1) * 100:+.1f}%"
         print(f"{name:<16} {ms:8.1f} ms   vs baseline {delta}", flush=True)
 
     print(f"post-sweep canary_tflops={_canary():.1f}", flush=True)

@@ -67,3 +67,70 @@ def test_no_shuffle_order():
     for _, labs in loader.epoch(0):
         order += labs[:, 0, 0].tolist()
     assert order == list(range(6))
+
+
+class _RandomAugDataset:
+    """__getitem__ draws from the global RNGs, like the real transforms."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        import random
+
+        jitter = random.random() + np.random.rand()
+        img = np.full((4, 4, 3), i + jitter, np.float32)
+        lab = np.full((4, 4), i, np.int32)
+        return img, lab
+
+
+def test_process_mode_matches_thread_contents():
+    # same index partitioning/prefetch protocol in both modes for a
+    # deterministic dataset
+    ds = _ArrayDataset(12)
+    out = {}
+    for mode in ("thread", "process"):
+        loader = EpochLoader(
+            ds, batch_size=3, seed=5, shuffle=True, drop_last=True,
+            workers=2, workers_mode=mode,
+        )
+        out[mode] = [
+            (imgs.copy(), labs.copy()) for imgs, labs in loader.epoch(2)
+        ]
+        loader.close()
+    assert len(out["thread"]) == len(out["process"]) == 4
+    for (ti, tl), (pi, pl) in zip(out["thread"], out["process"]):
+        np.testing.assert_array_equal(ti, pi)
+        np.testing.assert_array_equal(tl, pl)
+
+
+def test_process_mode_augmentation_deterministic():
+    # per-task RNG reseeding: two independent loaders produce bit-identical
+    # augmented batches regardless of worker scheduling (thread mode cannot
+    # promise this — concurrent assembles interleave on the global RNG)
+    ds = _RandomAugDataset(16)
+    runs = []
+    for _ in range(2):
+        loader = EpochLoader(
+            ds, batch_size=4, seed=9, shuffle=True, drop_last=True,
+            workers=3, workers_mode="process", prefetch=4,
+        )
+        runs.append([imgs.copy() for imgs, _ in loader.epoch(1)])
+        loader.close()
+    for a, b in zip(runs[0], runs[1]):
+        np.testing.assert_array_equal(a, b)
+    # different epochs draw different augmentation randomness
+    loader = EpochLoader(
+        ds, batch_size=4, seed=9, shuffle=False, drop_last=True,
+        workers=2, workers_mode="process",
+    )
+    e0 = [imgs.copy() for imgs, _ in loader.epoch(0)]
+    e1 = [imgs.copy() for imgs, _ in loader.epoch(1)]
+    # pool persists across epochs (no respawn per epoch)
+    assert loader._proc_pool is not None
+    loader.close()
+    assert loader._proc_pool is None
+    assert any(not np.array_equal(a, b) for a, b in zip(e0, e1))

@@ -58,7 +58,8 @@ def make_dataset(root: str, n_images: int, seed: int = 0):
     return os.path.join(root, "pascal_list.txt")
 
 
-def bench_one(root, list_path, workers: int, batch: int, crop: int):
+def bench_one(root, list_path, workers: int, batch: int, crop: int,
+              mode: str = "thread"):
     from u2pl_tpu.config import CropCfg, SplitCfg
     from u2pl_tpu.data.loader import EpochLoader, SegDataset
     from u2pl_tpu.data.transforms import build_transform
@@ -78,9 +79,10 @@ def bench_one(root, list_path, workers: int, batch: int, crop: int):
     )
     ds = SegDataset(root, list_path, tf, seed=0, n_sup=None, split="val")
     loader = EpochLoader(
-        ds, batch, seed=0, shuffle=True, drop_last=True, workers=workers
+        ds, batch, seed=0, shuffle=True, drop_last=True, workers=workers,
+        workers_mode=mode, prefetch=max(2, workers),
     )
-    # warm one epoch (page cache, thread pool spin-up), then time three
+    # warm one epoch (page cache, worker pool spin-up), then time three
     for _ in loader.epoch(0):
         pass
     t0 = time.perf_counter()
@@ -89,6 +91,7 @@ def bench_one(root, list_path, workers: int, batch: int, crop: int):
         for img, lab in loader.epoch(ep):
             n += img.shape[0]
     dt = time.perf_counter() - t0
+    loader.close()
     return n / dt
 
 
@@ -98,6 +101,10 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--crop", type=int, default=513)
     ap.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument(
+        "--modes", nargs="+", default=["thread", "process"],
+        help="EpochLoader workers_mode values to sweep",
+    )
     ap.add_argument(
         "--device_rate", type=float, default=30.6,
         help="target device img/s/chip to compare against (docs/PERF.md)",
@@ -111,16 +118,19 @@ def main():
             os.environ.pop("U2PL_TPU_NO_NATIVE", None)
             if pipeline == "numpy":
                 os.environ["U2PL_TPU_NO_NATIVE"] = "1"
-            for w in args.workers:
-                rate = bench_one(root, list_path, w, args.batch, args.crop)
-                results[f"{pipeline}_w{w}_img_s"] = round(rate, 1)
-                print(
-                    json.dumps(
-                        {"pipeline": pipeline, "workers": w,
-                         "img_per_sec": round(rate, 1)}
-                    ),
-                    flush=True,
-                )
+            for mode in args.modes:
+                for w in args.workers:
+                    rate = bench_one(
+                        root, list_path, w, args.batch, args.crop, mode
+                    )
+                    results[f"{pipeline}_{mode}_w{w}_img_s"] = round(rate, 1)
+                    print(
+                        json.dumps(
+                            {"pipeline": pipeline, "mode": mode, "workers": w,
+                             "img_per_sec": round(rate, 1)}
+                        ),
+                        flush=True,
+                    )
     os.environ.pop("U2PL_TPU_NO_NATIVE", None)
 
     best = max(results.values())
@@ -132,9 +142,11 @@ def main():
         "best_img_s": best,
         # one worker-thread's rate bounds cores/chip from below; threads
         # share cores, so cores_per_chip ~= device_rate / single-worker rate
-        "single_worker_native_img_s": results.get("native_w1_img_s"),
+        "single_worker_native_img_s": results.get("native_thread_w1_img_s"),
         "implied_cores_per_chip": round(
-            args.device_rate / max(results.get("native_w1_img_s", best), 1e-9), 2
+            args.device_rate
+            / max(results.get("native_thread_w1_img_s") or best, 1e-9),
+            2,
         ),
         **results,
     }

@@ -68,6 +68,11 @@ class DatasetCfg:
     batch_size: int = 4
     n_sup: int = 10582
     workers: int = 2
+    # "thread" (in-process pool; fine for 1 chip/host) or "process"
+    # (fork-based worker pool, the torch-DataLoader-style GIL escape —
+    # required to feed multiple chips per host; see docs/PERF.md "Host
+    # data-plane throughput" for the measured scaling and sizing rule).
+    workers_mode: str = "thread"
     mean: Tuple[float, ...] = (123.675, 116.28, 103.53)
     std: Tuple[float, ...] = (58.395, 57.12, 57.375)
     ignore_label: int = 255
@@ -299,6 +304,7 @@ def parse_config(raw: Dict[str, Any], exp_path: str = "") -> Config:
         batch_size=int(dset.get("batch_size", 1)),
         n_sup=int(dset.get("n_sup", 10582)),
         workers=int(dset.get("workers", 2)),
+        workers_mode=str(dset.get("workers_mode", "thread")),
         mean=tuple(dset.get("mean", (123.675, 116.28, 103.53))),
         std=tuple(dset.get("std", (58.395, 57.12, 57.375))),
         ignore_label=int(dset.get("ignore_label", 255)),

@@ -10,9 +10,11 @@ sharding happens inside the jitted step via shard_map.
 from __future__ import annotations
 
 import concurrent.futures as futures
+import multiprocessing
 import os
 import queue as queue_mod
-from typing import Iterator, Tuple
+import random
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
@@ -62,6 +64,45 @@ def epoch_indices(n: int, epoch: int, seed: int, shuffle: bool = True) -> np.nda
     return rng.permutation(n)
 
 
+# ---- process-worker plumbing (workers_mode="process") ----------------------
+#
+# The thread pool below is GIL-bound: PIL decode + the numpy/cv2 transform
+# chain release the GIL only partially, so measured throughput ANTI-scales
+# with thread count (docs/PERF.md "Host data-plane throughput") and one core
+# tops out near ~90 img/s at 513^2 — an 8-chip host needs ~235 img/s.
+# Process workers sidestep the GIL entirely (torch DataLoader's num_workers,
+# reference pascal_voc.py:117-123).  Design:
+#   - fork-context ProcessPoolExecutor, one persistent pool per EpochLoader
+#     (reused across epochs; fork is cheap and inherits the loaded native
+#     augment .so — the CDLL handle lives in a module global and is
+#     fork-safe because augment.cc keeps no mutable state).
+#   - the dataset ships to each worker ONCE via the pool initializer
+#     (SegDataset is picklable: path list + plain-attribute transforms).
+#   - batches return as pickled stacked arrays: at the uint8 device_normalize
+#     crop (~0.79 MB/img) a pipe moves >1 GB/s, two orders of magnitude
+#     above the target rate, so shared-memory slabs are not needed.
+#   - every task re-seeds `random` + `np.random` from (seed, epoch, batch),
+#     making process-mode augmentation DETERMINISTIC under any scheduling —
+#     stronger than thread mode, where concurrent assembles interleave on
+#     the shared global RNG.
+
+_WORKER_DATASET: Optional["SegDataset"] = None
+
+
+def _proc_worker_init(dataset: "SegDataset") -> None:
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _proc_assemble(indices: np.ndarray, task_seed: int):
+    random.seed(task_seed)
+    np.random.seed(task_seed)
+    samples = [_WORKER_DATASET[int(i)] for i in indices]
+    return tuple(
+        np.stack([s[k] for s in samples]) for k in range(len(samples[0]))
+    )
+
+
 class EpochLoader:
     """Iterates batches for one epoch with background prefetch.
 
@@ -85,7 +126,10 @@ class EpochLoader:
         process_index: int = 0,
         process_count: int = 1,
         replicas_per_process: int = 1,
+        workers_mode: str = "thread",
     ):
+        if workers_mode not in ("thread", "process"):
+            raise ValueError(f"workers_mode must be thread|process, got {workers_mode!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.seed = seed
@@ -96,7 +140,33 @@ class EpochLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.replicas_per_process = replicas_per_process
+        self.workers_mode = workers_mode
         self.global_batch = batch_size * replicas_per_process * process_count
+        self._proc_pool: Optional[futures.ProcessPoolExecutor] = None
+
+    def _get_proc_pool(self) -> futures.ProcessPoolExecutor:
+        if self._proc_pool is None:
+            # fork by default: workers only run numpy/PIL/cv2 (never JAX, so
+            # the JAX fork-deadlock warning doesn't apply to what they
+            # execute) and fork inherits the loaded native .so and the test
+            # suite's in-module datasets for free.  U2PL_LOADER_MP_CONTEXT=
+            # forkserver|spawn switches for environments where forking a
+            # threaded parent proves fragile — both require every dataset/
+            # transform class to be importable in a fresh interpreter.
+            method = os.environ.get("U2PL_LOADER_MP_CONTEXT", "fork")
+            self._proc_pool = futures.ProcessPoolExecutor(
+                max_workers=self.workers,
+                mp_context=multiprocessing.get_context(method),
+                initializer=_proc_worker_init,
+                initargs=(self.dataset,),
+            )
+        return self._proc_pool
+
+    def close(self) -> None:
+        """Tear down the persistent process pool (no-op in thread mode)."""
+        if self._proc_pool is not None:
+            self._proc_pool.shutdown(wait=False, cancel_futures=True)
+            self._proc_pool = None
 
     def __len__(self):
         n = len(self.dataset)
@@ -117,7 +187,6 @@ class EpochLoader:
             batches = [b for b in batches if len(b)]
         nb = len(batches)
 
-        ex = futures.ThreadPoolExecutor(max_workers=self.workers)
         pending: "queue_mod.Queue" = queue_mod.Queue()
 
         def assemble(b):
@@ -133,20 +202,37 @@ class EpochLoader:
                 np.stack([s[k] for s in samples]) for k in range(len(samples[0]))
             )
 
+        if self.workers_mode == "process":
+            ex = self._get_proc_pool()
+            submit = lambda i, b: ex.submit(
+                _proc_assemble,
+                b,
+                (self.seed * 1000003 + epoch * 9973 + i) % (2**31),
+            )
+        else:
+            ex = futures.ThreadPoolExecutor(max_workers=self.workers)
+            submit = lambda i, b: ex.submit(assemble, b)
+
         try:
             depth = min(self.prefetch, nb)
-            for b in batches[:depth]:
-                pending.put(ex.submit(assemble, b))
+            for i, b in enumerate(batches[:depth]):
+                pending.put(submit(i, b))
             for i in range(nb):
                 fut = pending.get()
                 if i + depth < nb:
-                    pending.put(ex.submit(assemble, batches[i + depth]))
+                    pending.put(submit(i + depth, batches[i + depth]))
                 yield fut.result()
         finally:
-            # cancel_futures: an early generator exit (break / exception in
-            # the train loop) must not leave queued assemble jobs running
-            # on orphaned non-daemon worker threads
-            ex.shutdown(wait=False, cancel_futures=True)
+            if self.workers_mode == "process":
+                # the pool persists across epochs; just drop queued work so
+                # an early exit doesn't keep decoding into the void
+                while not pending.empty():
+                    pending.get().cancel()
+            else:
+                # cancel_futures: an early generator exit (break / exception
+                # in the train loop) must not leave queued assemble jobs
+                # running on orphaned non-daemon worker threads
+                ex.shutdown(wait=False, cancel_futures=True)
 
 
 def build_loaders(cfg: Config, seed: int = 0, process_index: int = 0,
@@ -167,6 +253,7 @@ def build_loaders(cfg: Config, seed: int = 0, process_index: int = 0,
     )
     common = dict(
         workers=d.workers,
+        workers_mode=d.workers_mode,
         process_index=process_index,
         process_count=process_count,
         replicas_per_process=replicas_per_process,

@@ -58,11 +58,20 @@ def time_fn(fn, sync, iters=10, warm=3, carry=None):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--crop", type=int, default=513)
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--crop", type=int, default=0,
+                    help="0 = the variant's flagship crop (513 / 769)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="0 = the variant's flagship per-chip batch (4 / 2)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--variant", default="pascal",
+                    choices=["pascal", "cityscapes"],
+                    help="config family: pascal (CE) or cityscapes (OHEM+aux)")
     args = ap.parse_args()
+    if not args.crop:
+        args.crop = 769 if args.variant == "cityscapes" else 513
+    if not args.batch:
+        args.batch = 2 if args.variant == "cityscapes" else 4
 
     from __graft_entry__ import _flagship_cfg
     from u2pl_tpu.dist import make_mesh
@@ -74,7 +83,7 @@ def main():
     from u2pl_tpu.train.steps import make_semi_step, make_semi_warmup_step
 
     crop = args.crop
-    cfg = _flagship_cfg(crop=crop)
+    cfg = _flagship_cfg(crop=crop, variant=args.variant)
     cfg = dataclasses.replace(cfg, net=dataclasses.replace(cfg.net, dtype=args.dtype))
     mesh = make_mesh()
     n_dev = mesh.devices.size
@@ -111,7 +120,8 @@ def main():
     def sync_state(sm):
         jax.device_get(jax.tree_util.tree_leaves(sm[0].params)[0])
 
-    out = {"crop": crop, "per_chip_batch": args.batch, "dtype": args.dtype}
+    out = {"variant": args.variant, "crop": crop,
+           "per_chip_batch": args.batch, "dtype": args.dtype}
 
     variants = {
         "full": cfg,

@@ -220,7 +220,7 @@ def _patch_ours_deterministic(mp):
         idx = jnp.searchsorted(cs, r + 1, side="left")
         return jnp.clip(idx, 0, mask.shape[0] - 1), n
 
-    def det_select_keys(mask, rng, k):
+    def det_select_keys(mask, rng, k, lowering="argsort"):
         npix = mask.shape[0]
         pri = jnp.where(mask, jnp.arange(npix, dtype=jnp.float32), jnp.inf)
         order = jnp.argsort(pri)

@@ -37,6 +37,7 @@ from u2pl_tpu.evallib.slide import (
 )
 from u2pl_tpu.models import build_model
 from u2pl_tpu.utils.checkpoint import load_eval_variables
+from u2pl_tpu.utils.compile_cache import maybe_enable_compilation_cache
 from u2pl_tpu.utils.logging_utils import AverageMeter, init_log
 
 try:
@@ -65,6 +66,25 @@ def get_parser():
         "each image to a 128-multiple grid with a masked forward so one "
         "compiled program serves every image size in the bucket; results "
         "match the unbucketed path)",
+    )
+    parser.add_argument(
+        "--dtype",
+        type=str,
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="forward compute dtype. float32 (default) matches the "
+        "reference bit-for-bit; bfloat16 is the TPU serving option — "
+        "~1.5-2x faster forwards at these widths with argmax flips only "
+        "on near-tie boundary pixels (quality A/B in docs/PERF.md, "
+        "tools/ab_bf16.py)",
+    )
+    parser.add_argument(
+        "--compilation_cache_dir",
+        type=str,
+        default="",
+        help="enable JAX's persistent compilation cache in this directory "
+        "(or set U2PL_COMPILE_CACHE); repeat runs skip the minutes-long "
+        "XLA compile of the big eval programs",
     )
     return parser
 
@@ -119,11 +139,14 @@ def main():
 
     data_list, colormap = build_data_list(cfg)
 
-    # eval builds the model without SyncBN (reference eval.py:120) and with
-    # float32 compute regardless of the training dtype: the reference
-    # evaluates in f32, and bf16 forwards can flip argmax at near-ties
-    # (bf16-by-default is a training-throughput choice, not an eval one)
-    model = build_model(cfg.net, axis_name=None, dtype=jnp.float32)
+    maybe_enable_compilation_cache(args.compilation_cache_dir, logger)
+
+    # eval builds the model without SyncBN (reference eval.py:120) and,
+    # by default, with float32 compute regardless of the training dtype:
+    # the reference evaluates in f32, and bf16 forwards can flip argmax
+    # at near-ties.  --dtype bfloat16 opts into the faster TPU serving
+    # path (quality A/B: docs/PERF.md).
+    model = build_model(cfg.net, axis_name=None, dtype=jnp.dtype(args.dtype))
     variables = load_variables(model, args.model_path, crop_size)
     is_city = "cityscapes" in cfg.dataset.type
     # whole-image (VOC) path: bucketed masked forwards avoid one recompile

@@ -43,6 +43,7 @@ from u2pl_tpu.utils.checkpoint import (
     maybe_resume,
     save_checkpoint,
 )
+from u2pl_tpu.utils.compile_cache import maybe_enable_compilation_cache
 from u2pl_tpu.utils.logging_utils import AverageMeter, init_log
 from u2pl_tpu.utils.tb import ScalarWriter
 
@@ -60,6 +61,14 @@ parser.add_argument(
     help="capture a jax.profiler xplane trace of train steps 10-13 "
     "(TPU-native replacement for the reference's absent profiler hooks)",
 )
+parser.add_argument(
+    "--compilation_cache_dir",
+    type=str,
+    default="",
+    help="enable JAX's persistent compilation cache in this directory "
+    "(or set U2PL_COMPILE_CACHE); restarts/resumes skip the minutes-long "
+    "XLA compile of the fused train step",
+)
 
 
 def main():
@@ -67,6 +76,7 @@ def main():
     cfg = load_config(args.config)
 
     logger = init_log("global", logging.INFO)
+    maybe_enable_compilation_cache(args.compilation_cache_dir, logger)
     initialize_distributed()
     mesh = make_mesh()
 

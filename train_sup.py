@@ -38,6 +38,7 @@ from u2pl_tpu.utils.checkpoint import (
     maybe_resume,
     save_checkpoint,
 )
+from u2pl_tpu.utils.compile_cache import maybe_enable_compilation_cache
 from u2pl_tpu.utils.logging_utils import AverageMeter, init_log
 from u2pl_tpu.utils.tb import ScalarWriter
 
@@ -46,12 +47,20 @@ parser.add_argument("--config", type=str, default="config.yaml")
 parser.add_argument("--local_rank", type=int, default=0)
 parser.add_argument("--seed", type=int, default=0)
 parser.add_argument("--port", default=None, type=int)
+parser.add_argument(
+    "--compilation_cache_dir",
+    type=str,
+    default="",
+    help="enable JAX's persistent compilation cache in this directory "
+    "(or set U2PL_COMPILE_CACHE); restarts/resumes skip the XLA compile",
+)
 
 
 def main():
     args = parser.parse_args()
     cfg = load_config(args.config)
     logger = init_log("global", logging.INFO)
+    maybe_enable_compilation_cache(args.compilation_cache_dir, logger)
     initialize_distributed()
     mesh = make_mesh()
     rank0 = process_is_primary()

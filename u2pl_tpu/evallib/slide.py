@@ -101,9 +101,15 @@ def make_net_process_bucketed(
     return net_process
 
 
-def make_net_process(model, variables) -> Callable:
+def make_net_process(model, variables, block: bool = True) -> Callable:
     """Returns f(images NHWC) -> logits NHWC upsampled to input size,
-    jit-cached per input shape."""
+    jit-cached per input shape.
+
+    ``block=False`` returns the device array straight from JAX's async
+    dispatch instead of syncing to numpy — the caller syncs later with
+    ``np.asarray``.  This lets a serving loop overlap the device forward
+    of batch i+1 with the host post-processing of batch i (infer.py's
+    double-buffered loop)."""
 
     @functools.lru_cache(maxsize=32)
     def compiled(shape: Tuple[int, ...]):
@@ -114,9 +120,10 @@ def make_net_process(model, variables) -> Callable:
 
         return fwd
 
-    def net_process(images: np.ndarray) -> np.ndarray:
+    def net_process(images: np.ndarray):
         fwd = compiled(tuple(images.shape))
-        return np.asarray(fwd(jnp.asarray(images)))
+        out = fwd(jnp.asarray(images))
+        return np.asarray(out) if block else out
 
     return net_process
 

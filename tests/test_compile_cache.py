@@ -14,7 +14,10 @@ import os
 import jax
 import jax.numpy as jnp
 
-from u2pl_tpu.utils.compile_cache import maybe_enable_compilation_cache
+from u2pl_tpu.utils.compile_cache import (
+    maybe_enable_compilation_cache,
+    prune_compile_cache,
+)
 
 
 def test_disabled_by_default(monkeypatch):
@@ -45,6 +48,47 @@ def test_jit_writes_cache_entries(tmp_path):
     finally:
         # Leave no process-global cache config behind for other tests.
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def _mk_entry(d, name, size, age_s):
+    path = d / name
+    path.touch()
+    os.truncate(path, size)  # sparse: st_size without allocating blocks
+    t = os.stat(path).st_mtime - age_s
+    os.utime(path, (t, t))
+    return path
+
+
+def test_prune_evicts_lru_until_under_cap(tmp_path):
+    old = _mk_entry(tmp_path, "old-cache", 100, age_s=300)
+    mid = _mk_entry(tmp_path, "mid-cache", 100, age_s=200)
+    new = _mk_entry(tmp_path, "new-cache", 100, age_s=100)
+    # subdirs and dotfiles are never touched
+    (tmp_path / "sub").mkdir()
+    dot = _mk_entry(tmp_path, ".lock", 100, age_s=999)
+
+    assert prune_compile_cache(str(tmp_path), max_bytes=1000) == 0
+    assert old.exists() and mid.exists() and new.exists()
+
+    assert prune_compile_cache(str(tmp_path), max_bytes=150) == 2
+    assert not old.exists() and not mid.exists()
+    assert new.exists() and dot.exists() and (tmp_path / "sub").is_dir()
+
+
+def test_max_gb_env_prunes_at_enable(tmp_path, monkeypatch):
+    cache_dir = tmp_path / "cc"
+    cache_dir.mkdir()
+    old = _mk_entry(cache_dir, "old-cache", 600_000_000, age_s=300)
+    new = _mk_entry(cache_dir, "new-cache", 600_000_000, age_s=100)
+    monkeypatch.setenv("U2PL_COMPILE_CACHE_MAX_GB", "1")
+    try:
+        assert maybe_enable_compilation_cache(str(cache_dir)) == str(cache_dir)
+    finally:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
+    assert not old.exists()
+    assert new.exists()
 
 
 def test_cli_parsers_accept_the_flag():
